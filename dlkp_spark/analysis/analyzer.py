@@ -1,0 +1,106 @@
+"""Analyzer: html → text extraction and deterministic tokenization.
+
+Engine analog of the reference's tokenize stage (dlkp ``tagger.py:60``
+whitespace split + ``datasets/extraction.py:128-139`` fast-tokenizer map),
+re-expressed as Arrow-batched ``mapInPandas`` — the reference's
+``Dataset.map(batched=True, num_proc=N)`` workhorse (M1/M2/M3 in SURVEY.md §2.3)
+maps 1:1 onto this. Never per-row Python.
+
+The per-row invariant (BASELINE.json input_hint): text extracted from
+``html`` is byte-identical to the ``text`` column for every url.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import TOKEN_RE
+
+_BODY_OPEN = b"<body>"
+_BODY_CLOSE = b"</body>"
+
+
+def extract_text_py(html: bytes) -> str:
+    """Exact text extraction from the deterministic html wrapper.
+
+    Byte-identical inverse of ``corpus.wrap_html`` — validated per-url by
+    tests/test_corpus.py. A real-world extractor would slot in here; the
+    contract (bytes in, exact text out, pure function) is the same.
+    """
+    start = html.index(_BODY_OPEN) + len(_BODY_OPEN)
+    end = html.rindex(_BODY_CLOSE)
+    return html[start:end].decode("utf-8")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Shared tokenizer: lowercase + runs of [a-z0-9] (config.TOKEN_RE)."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def analyze(web_pages: DataFrame, validate: bool = True) -> DataFrame:
+    """web_pages(url, warc_ts, html, text, lang) → +extracted_text, +tokens.
+
+    ``mapInPandas`` iterator form: one Python worker handles a whole Arrow
+    batch stream, so per-batch cost amortizes (the reference's batched=True
+    map, datasets/extraction.py:36-42).
+    """
+    schema = ("url string, warc_ts timestamp, text string, lang string, "
+              "tokens array<string>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            extracted = pdf["html"].map(extract_text_py)
+            if validate:
+                bad = pdf.loc[extracted != pdf["text"], "url"]
+                if len(bad):
+                    raise ValueError(
+                        f"extracted text not byte-identical for urls: {bad.tolist()[:5]}")
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "text": extracted,
+                "lang": pdf["lang"],
+                "tokens": extracted.map(tokenize_py),
+            })
+
+    return web_pages.mapInPandas(run, schema)
+
+
+def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
+                 n_range_parts: int | None = None) -> DataFrame:
+    """Dense deterministic doc_id = rank of url (0-based).
+
+    Small inputs: global ``row_number() over (order by url)``. Above
+    ``scale_threshold`` rows a single-partition window is not viable, so the
+    scale path runs two-phase: ``repartitionByRange(url)`` → per-partition
+    rank + per-partition row-count offsets joined back (the offsets table is
+    tiny — one row per partition — and broadcast). Both paths produce the
+    identical url→rank mapping, independent of where the range boundaries
+    fall, so results are partitioning-invariant.
+    """
+    from pyspark.sql import Window
+
+    n = docs.count()
+    if n <= scale_threshold:
+        w = Window.orderBy("url")
+        return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+    parts = n_range_parts or docs.sparkSession.sparkContext.defaultParallelism * 2
+    ranged = docs.repartitionByRange(parts, "url").withColumn(
+        "_part", F.spark_partition_id())
+    offsets = (ranged.groupBy("_part").agg(F.count("*").alias("_cnt"))
+               .withColumn("_off",
+                           F.coalesce(
+                               F.sum("_cnt").over(
+                                   Window.orderBy("_part")
+                                   .rowsBetween(Window.unboundedPreceding, -1)),
+                               F.lit(0))))
+    w_in = Window.partitionBy("_part").orderBy("url")
+    return (ranged.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+            .join(F.broadcast(offsets.select("_part", "_off")), "_part")
+            .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
+            .drop("_part", "_rn", "_off"))

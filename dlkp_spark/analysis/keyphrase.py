@@ -1,0 +1,178 @@
+"""Keyphrase field producer — the dlkp graft.
+
+Reimplements the *behavior* of ``KeyphraseTagger.predict``
+(/root/reference/src/dlkp/extraction/tagger.py:52-100): run a token-level
+BIO tagger over each document, decode tag sequences into keyphrase spans,
+score each span, and lowercase-first-wins dedup — faithfully mirroring the
+reference state machine at
+/root/reference/src/dlkp/datasets/extraction.py:308-377 and the confidence
+aggregation at :298-306.
+
+The transformer forward (reference ``extraction/models.py:57-110``) is
+replaced by a deterministic stand-in "model" (a pure function of the token
+bytes) because no torch/transformers exist in this environment. The Spark
+plumbing is the real thing and is exactly what a transformer would use:
+Arrow-batched iterator ``mapInPandas`` so the model loads once per partition
+(reference loads once per process, tagger.py:23-46), model parameters
+shipped via closure/broadcast, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# Stand-in tagger "model": deterministic pseudo-logits per token.
+# ---------------------------------------------------------------------------
+
+
+def _tok_hash(tok: str) -> int:
+    return int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def tag_tokens(tokens: list[str]) -> tuple[list[str], list[float]]:
+    """Deterministic BIO tags + per-token confidence scores.
+
+    Stand-in for the transformer token classifier + argmax
+    (reference tagger.py:67-68): tag B where the token hash lands in the
+    B-bucket, I where it lands in the I-bucket *and* a span is open
+    (mirroring how a trained tagger emits I only as continuations), else O.
+    Scores are deterministic pseudo-softmax confidences in [0.5, 1.0).
+    """
+    tags: list[str] = []
+    scores: list[float] = []
+    prev_in_span = False
+    for tok in tokens:
+        h = _tok_hash(tok)
+        m = h % 11
+        if m == 0:
+            tag = "B"
+        elif m in (1, 2) and prev_in_span:
+            tag = "I"
+        else:
+            tag = "O"
+        tags.append(tag)
+        scores.append(0.5 + (h % 1000) / 2000.0)
+        prev_in_span = tag in ("B", "I")
+    return tags, scores
+
+
+# ---------------------------------------------------------------------------
+# BIO → span decode: faithful port of the reference semantics.
+# ---------------------------------------------------------------------------
+
+
+def calculate_confidence_score(scores: list[float], score_method: str) -> float:
+    """Mirror of datasets/extraction.py:298-306 (avg / first / max)."""
+    if score_method == "avg":
+        return float(sum(scores) / len(scores))
+    if score_method == "first":
+        return scores[0]
+    if score_method == "max":
+        return max(scores)
+    raise ValueError(score_method)
+
+
+def extract_kp_from_tags(
+    tokens: list[str],
+    tags: list[str],
+    scores: list[float] | None = None,
+    score_method: str | None = None,
+) -> tuple[list[str], list[float] | None]:
+    """BIO state machine, mirroring datasets/extraction.py:316-377 exactly:
+
+    - ``O`` closes an open span;
+    - ``B`` closes an open span and starts a new one;
+    - ``I`` appends to the current span — including when no span is open
+      (an I right after O starts accumulating, as in the reference);
+    - a trailing open span is emitted at sequence end (:349-355);
+    - spans decode to space-joined surface strings; final list is
+      lowercased with first-wins ordered dedup (:361-375), scores kept for
+      the first occurrence only.
+    """
+    if score_method:
+        assert scores is not None and len(tags) == len(scores)
+    all_kps: list[list[str]] = []
+    all_scores: list[float] = []
+    cur: list[str] = []
+    cur_scores: list[float] = []
+    for i, (tok, tag) in enumerate(zip(tokens, tags)):
+        if tag == "O" and cur:
+            if score_method:
+                all_scores.append(calculate_confidence_score(cur_scores, score_method))
+                cur_scores = []
+            all_kps.append(cur)
+            cur = []
+        elif tag == "B":
+            if cur:
+                if score_method:
+                    all_scores.append(calculate_confidence_score(cur_scores, score_method))
+                all_kps.append(cur)
+            cur = [tok]
+            cur_scores = [scores[i]] if score_method else []
+        elif tag == "I":
+            cur.append(tok)
+            if score_method:
+                cur_scores.append(scores[i])
+    if cur:
+        all_kps.append(cur)
+        if score_method:
+            all_scores.append(calculate_confidence_score(cur_scores, score_method))
+
+    decoded = [" ".join(kp) for kp in all_kps]
+    final_kps: list[str] = []
+    final_scores: list[float] = []
+    seen: set[str] = set()
+    for i, kp in enumerate(decoded):
+        low = kp.lower()
+        if low not in seen:
+            seen.add(low)
+            final_kps.append(low)
+            if score_method:
+                final_scores.append(all_scores[i])
+    return final_kps, (final_scores if score_method else None)
+
+
+def tag_and_extract(tokens: list[str], score_method: str = "avg") -> tuple[list[str], list[float]]:
+    """Full predict path for one document: tag → decode → dedup + scores."""
+    tags, scores = tag_tokens(tokens)
+    kps, kp_scores = extract_kp_from_tags(tokens, tags, scores, score_method)
+    return kps, kp_scores or []
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: batched Arrow UDF inference (iterator form).
+# ---------------------------------------------------------------------------
+
+
+def with_keyphrases(docs: DataFrame, score_method: str = "avg",
+                    tokens_col: str = "tokens") -> DataFrame:
+    """docs(+tokens array<string>) → +keyphrases array<string>,
+    +kp_scores array<float>.
+
+    Iterator-form ``mapInPandas``: the stand-in model is trivially cheap, but
+    the structure is transformer-ready — a real model would be loaded once at
+    iterator start (per partition) from a broadcast/SparkFiles artifact and
+    applied per Arrow batch (reference trainer batch loop,
+    extraction/trainer.py:87-131).
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
+    schema = f"{out_fields}, keyphrases array<string>, kp_scores array<float>"
+    cols = [f.name for f in docs.schema.fields]
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (model load would happen here, once per partition)
+        for pdf in batches:
+            results = pdf[tokens_col].map(
+                lambda toks: tag_and_extract(list(toks), score_method))
+            pdf = pdf[cols].copy()
+            pdf["keyphrases"] = results.map(lambda r: r[0])
+            pdf["kp_scores"] = results.map(lambda r: r[1])
+            yield pdf
+
+    return docs.mapInPandas(infer, schema)

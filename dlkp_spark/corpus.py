@@ -1,0 +1,103 @@
+"""Deterministic synthetic Common-Crawl-style corpus (BASELINE.json input_hint).
+
+Generates the authoritative input shape ``(url string, warc_ts timestamp,
+html binary, text string, lang string)`` fully distributed: ``spark.range``
+drives a ``mapInPandas`` generator whose randomness is a pure function of the
+row index and the seed, so the corpus is byte-identical regardless of
+partitioning, parallelism level, or regeneration — the property the per-row
+"byte-identical extracted text per url" invariant is tested against.
+
+Text is Zipf-sampled from a fixed vocabulary (realistic head-term skew so
+head-term salting in the index build actually triggers); ~5% of rows embed
+known multi-word keyphrases so the keyphrase field has guaranteed content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+VOCAB_SIZE = 2000
+ZIPF_A = 1.3  # Zipf exponent for term-frequency skew
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+N_SITES = 64
+LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "en", "en",
+         "en", "en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
+
+# Known multi-word keyphrases embedded verbatim in ~5% of documents.
+KNOWN_KEYPHRASES = [
+    "neural keyphrase extraction",
+    "inverted index compression",
+    "block max wand",
+    "distributed query engine",
+    "conditional random field",
+]
+
+
+def vocab() -> list[str]:
+    """Fixed vocabulary; rank i gets Zipf probability ∝ 1/(i+1)^a."""
+    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+
+
+_VOCAB = np.array(vocab())
+_RANKS = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+_ZIPF_P = (1.0 / _RANKS**ZIPF_A) / np.sum(1.0 / _RANKS**ZIPF_A)
+_ZIPF_CDF = np.cumsum(_ZIPF_P)
+
+
+def _row_text(i: int, seed: int) -> tuple[str, str]:
+    """(text, lang) for row i — pure function of (i, seed)."""
+    h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=16).digest()
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "big")))
+    n_tokens = int(rng.integers(50, 400))
+    # inverse-CDF Zipf sampling (vectorized)
+    u = rng.random(n_tokens)
+    toks = _VOCAB[np.searchsorted(_ZIPF_CDF, u)].tolist()
+    if rng.random() < 0.05:
+        kp = KNOWN_KEYPHRASES[int(rng.integers(0, len(KNOWN_KEYPHRASES)))]
+        pos = int(rng.integers(0, n_tokens))
+        toks[pos:pos] = kp.split()
+    lang = LANGS[int(rng.integers(0, len(LANGS)))]
+    return " ".join(toks), lang
+
+
+def _url(i: int, seed: int) -> str:
+    h = hashlib.blake2b(f"url:{seed}:{i}".encode(), digest_size=8).hexdigest()
+    return f"https://site{i % N_SITES}.example/{h}"
+
+
+def wrap_html(text: str) -> bytes:
+    """Exact, reversible html wrapper — extraction is byte-identity."""
+    return b"<html><head><title>doc</title></head><body>" + text.encode("utf-8") + b"</body></html>"
+
+
+def generate_web_pages(spark: SparkSession, n_docs: int, seed: int = 42,
+                       partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic generator for the input_hint table."""
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                text, lang = _row_text(i, seed)
+                rows.append((
+                    _url(i, seed),
+                    pd.Timestamp(EPOCH) + pd.Timedelta(seconds=int(i)),
+                    wrap_html(text),
+                    text,
+                    lang,
+                ))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(gen, schema)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-provided stand-in table (doc_id, text, lang, source, n_chars)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

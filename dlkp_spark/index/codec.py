@@ -1,0 +1,128 @@
+"""Posting-list compression: delta + varbyte, with block-max metadata.
+
+Pure-numpy kernels (no Python per-element loops on the hot path) invoked
+from inside ``mapInPandas`` during the index build. Format:
+
+- doc ids: strictly increasing int64 → first-order deltas (first value kept
+  absolute) → varbyte (7-bit groups, little-endian, MSB=1 means "more").
+- tfs and doclens: positive ints → varbyte directly.
+- block-max: for each block of ``block_size`` postings, the maximum
+  *unboosted* BM25 term contribution ``idf * tf_norm(tf, dl)`` (float64 — an
+  admissible upper bound used by block-max WAND) plus the last doc id of the
+  block (the skip pointer).
+
+No reference analog — specified by BASELINE.json north_star ("per-partition
+sorted posting lists delta-encoded with varbyte and block-max metadata").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dlkp_spark.config import BM25Params
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        live = tmp > 0
+        if not live.any():
+            break
+        nbits[live] += 1
+        tmp = tmp >> np.uint64(7)
+    ngroups = np.maximum(nbits, 1)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # write groups least-significant first; set MSB on all but final group
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    # positions within each value's group run
+    pos = np.arange(total) - np.repeat(starts, ngroups)
+    rep = np.repeat(v, ngroups)
+    shifted = rep >> (pos.astype(np.uint64) * np.uint64(7))
+    bytes7 = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    is_last = pos == np.repeat(ngroups - 1, ngroups)
+    out[:] = np.where(is_last, bytes7, bytes7 | np.uint8(0x80))
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group index of each byte = count of completed values before it
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_last)[:-1]
+    n_values = int(is_last.sum())
+    # position of byte within its value
+    starts_mask = np.ones(b.size, dtype=bool)
+    starts_mask[1:] = is_last[:-1]
+    start_idx = np.flatnonzero(starts_mask)
+    pos = np.arange(b.size) - np.repeat(start_idx, np.diff(np.append(start_idx, b.size)))
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * np.uint64(7))
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    d = np.asarray(doc_ids, dtype=np.int64)
+    out = np.empty_like(d)
+    out[0:1] = d[0:1]
+    out[1:] = d[1:] - d[:-1]
+    return out.astype(np.uint64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def tf_norm_vec(tfs: np.ndarray, dls: np.ndarray, avgdl: float, p: BM25Params) -> np.ndarray:
+    """Vectorized BM25 tf normalization, float64, fixed op order (matches
+    oracle.tf_norm expression-for-expression)."""
+    tfs = tfs.astype(np.float64)
+    dls = dls.astype(np.float64)
+    return (tfs * (p.k1 + 1.0)) / (tfs + p.k1 * (1.0 - p.b + p.b * dls / avgdl))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    idf: float, avgdl: float, p: BM25Params,
+                    block_size: int = 64) -> dict:
+    """Encode one (term, field, segment) posting list (doc ids sorted asc).
+
+    Returns dict with binary blobs + block-max arrays + stats.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    assert doc_ids.size > 0 and bool(np.all(np.diff(doc_ids) > 0)), "doc ids must be strictly increasing"
+    contribs = idf * tf_norm_vec(np.asarray(tfs), np.asarray(dls), avgdl, p)
+    n = doc_ids.size
+    nblocks = (n + block_size - 1) // block_size
+    pad = nblocks * block_size - n
+    cpad = np.pad(contribs, (0, pad), constant_values=-np.inf)
+    block_max = cpad.reshape(nblocks, block_size).max(axis=1)
+    block_last = doc_ids[np.minimum(np.arange(1, nblocks + 1) * block_size - 1, n - 1)]
+    return {
+        "docs_vb": varbyte_encode(delta_encode(doc_ids)),
+        "tfs_vb": varbyte_encode(np.asarray(tfs, dtype=np.uint64)),
+        "dls_vb": varbyte_encode(np.asarray(dls, dtype=np.uint64)),
+        "block_max": block_max.tolist(),
+        "block_last": block_last.tolist(),
+        "n_postings": int(n),
+        "max_contrib": float(contribs.max()),
+    }
+
+
+def decode_postings(docs_vb: bytes, tfs_vb: bytes, dls_vb: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_ids int64 asc, tfs int64, dls int64)."""
+    doc_ids = delta_decode(varbyte_decode(docs_vb))
+    tfs = varbyte_decode(tfs_vb).astype(np.int64)
+    dls = varbyte_decode(dls_vb).astype(np.int64)
+    return doc_ids, tfs, dls

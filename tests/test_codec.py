@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dlkp_spark.config import BM25Params
+from dlkp_spark.index.codec import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    tf_norm_vec,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**56 + 5], dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(vals)), vals)
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.sort(np.array(ids, dtype=np.int64))
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+def test_encode_decode_postings_roundtrip():
+    p = BM25Params()
+    doc_ids = np.array([3, 10, 11, 500, 100000], dtype=np.int64)
+    tfs = np.array([1, 5, 2, 9, 1], dtype=np.int64)
+    dls = np.array([100, 300, 50, 900, 120], dtype=np.int64)
+    enc = encode_postings(doc_ids, tfs, dls, idf=1.7, avgdl=250.0, p=p, block_size=2)
+    d, t, dl = decode_postings(enc["docs_vb"], enc["tfs_vb"], enc["dls_vb"])
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(dl, dls)
+    # block structure: 5 postings, block_size 2 → 3 blocks
+    assert len(enc["block_max"]) == 3
+    assert enc["block_last"] == [10, 500, 100000]
+    # block maxes are admissible upper bounds of true contributions
+    contribs = 1.7 * tf_norm_vec(tfs, dls, 250.0, p)
+    for b in range(3):
+        blk = contribs[b * 2:(b + 1) * 2]
+        assert enc["block_max"][b] == pytest.approx(blk.max(), abs=0)
+    assert enc["max_contrib"] == contribs.max()
+
+
+def test_block_max_admissible_property():
+    rng = np.random.default_rng(7)
+    p = BM25Params()
+    doc_ids = np.cumsum(rng.integers(1, 50, size=1000)).astype(np.int64)
+    tfs = rng.integers(1, 20, size=1000).astype(np.int64)
+    dls = rng.integers(30, 2000, size=1000).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs, dls, idf=2.1, avgdl=400.0, p=p, block_size=64)
+    contribs = 2.1 * tf_norm_vec(tfs, dls, 400.0, p)
+    for i, c in enumerate(contribs):
+        assert enc["block_max"][i // 64] >= c
+
+
+def test_shared_idf_is_bit_stable():
+    """Oracle and kernels share one idf implementation (np.log differs from
+    math.log by 1 ulp on some inputs, e.g. log(7.3)); repeated evaluation is
+    bit-identical."""
+    from dlkp_spark.oracle import idf
+    for n, df in [(10, 1), (500, 3), (10**6, 12345), (7, 7)]:
+        assert idf(n, df) == idf(n, df)
+        assert isinstance(idf(n, df), float)

@@ -1,0 +1,48 @@
+from dlkp_spark.analysis.analyzer import analyze, extract_text_py, tokenize_py, with_doc_ids
+from dlkp_spark.corpus import generate_web_pages, wrap_html
+
+
+def test_wrap_extract_byte_identity_unit():
+    for text in ["hello world", "", "unicode ✓ ümlaut", "a" * 10000]:
+        assert extract_text_py(wrap_html(text)) == text
+
+
+def test_corpus_deterministic_across_partitioning(spark):
+    a = generate_web_pages(spark, 200, seed=42, partitions=2).orderBy("url").collect()
+    b = generate_web_pages(spark, 200, seed=42, partitions=7).orderBy("url").collect()
+    assert a == b
+    assert len(a) == 200
+    assert len({r["url"] for r in a}) == 200  # urls unique
+
+
+def test_per_url_byte_identity_invariant(spark):
+    """BASELINE.json input_hint: extracted text byte-identical per url."""
+    pages = generate_web_pages(spark, 300, seed=42)
+    analyzed = analyze(pages, validate=True)  # raises on any mismatch
+    rows = analyzed.select("url", "text", "tokens").collect()
+    assert len(rows) == 300
+    for r in rows[:20]:
+        assert r["tokens"] == tokenize_py(r["text"])
+
+
+def test_tokenizer_spec():
+    assert tokenize_py("Hello, World! 123 foo-bar") == ["hello", "world", "123", "foo", "bar"]
+    assert tokenize_py("") == []
+
+
+def test_doc_ids_dense_and_deterministic(spark):
+    pages = generate_web_pages(spark, 150, seed=42)
+    docs = with_doc_ids(analyze(pages))
+    ids = [r["doc_id"] for r in docs.orderBy("doc_id").collect()]
+    assert ids == list(range(150))
+    # rank of url: doc_id order == url order
+    by_url = docs.orderBy("url").select("doc_id").collect()
+    assert [r["doc_id"] for r in by_url] == list(range(150))
+
+
+def test_doc_ids_scale_path_matches_window_path(spark):
+    pages = analyze(generate_web_pages(spark, 180, seed=1))
+    small = with_doc_ids(pages).select("url", "doc_id").orderBy("url").collect()
+    scale = (with_doc_ids(pages, scale_threshold=10, n_range_parts=5)
+             .select("url", "doc_id").orderBy("url").collect())
+    assert small == scale
