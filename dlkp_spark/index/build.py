@@ -1,0 +1,254 @@
+"""SPIMI-style distributed index build (BASELINE.json north_star).
+
+Pipeline, all declarative until the final encode:
+
+1. ``prepare_docs``: web_pages → analyze → dense doc ids → keyphrase field
+   (Arrow UDF inference) — the dlkp graft.
+2. ``token_table``: explode body tokens and keyphrase-field tokens to
+   ``(doc_id, field, term, tf, dl)`` with built-in higher-order functions
+   (no Python in the explode path; Catalyst owns it).
+3. Global pass: corpus stats (n_docs, per-field avgdl) + term dictionary
+   ``(field, term, df)`` — needed up front so block-max metadata (which
+   depends on idf/avgdl) can be computed during the encode pass.
+4. Posting encode per shard: ``repartitionByRange(term, field, segment)``
+   — ``segment = doc_id // segment_docs`` doubles as the head-term salt: a
+   Zipf head term is split into many (term, segment) sub-lists that land on
+   different reducers instead of hot-spotting one — then
+   ``sortWithinPartitions`` + ``mapInPandas`` delta+varbyte encode with
+   block-max metadata.
+5. Shards commit atomically (tmp dir → rename) with manifest JSON
+   (per-partition lineage + metrics); a rerun skips committed shards.
+
+Scale notes (10^12 docs): the only global shuffles are the tf groupBy
+(keyed by doc — uniform), the df groupBy (keyed by term — skew bounded
+because input rows are already (doc,term)-distinct, so a head term carries
+at most n_docs rows spread over map-side partial aggregation), and the
+range repartition (salted by segment). Nothing ever collects postings to
+the driver; shard manifests are KB-sized JSON.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dlkp_spark.analysis.analyzer import analyze, with_doc_ids
+from dlkp_spark.analysis.keyphrase import with_keyphrases
+from dlkp_spark.config import FIELD_BODY, FIELD_KP, IndexConfig
+from dlkp_spark.index import manifest as mf
+from dlkp_spark.index.codec import encode_postings
+
+POSTINGS_SCHEMA = (
+    "term string, field int, segment long, df long, n_postings long, "
+    "docs_vb binary, tfs_vb binary, dls_vb binary, "
+    "block_max array<double>, block_last array<long>, max_contrib double"
+)
+
+
+def prepare_docs(web_pages: DataFrame, validate: bool = True) -> DataFrame:
+    """web_pages → (url, warc_ts, text, lang, tokens, doc_id, keyphrases, kp_scores)."""
+    return with_keyphrases(with_doc_ids(analyze(web_pages, validate=validate)))
+
+
+def token_table(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, tokens, keyphrases) → (doc_id, field, term, tf, dl).
+
+    dl is the per-(doc, field) token-stream length, computed from the doc
+    row itself (so docs with zero keyphrases still contribute dl=0 to
+    avgdl, matching the oracle).
+    """
+    kp_tokens = F.flatten(F.transform("keyphrases", lambda kp: F.split(kp, " ")))
+    base = docs.select(
+        "doc_id",
+        F.col("tokens").alias("body_toks"),
+        kp_tokens.alias("kp_toks"),
+    )
+    streams = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(FIELD_BODY).alias("field"), F.col("body_toks").alias("toks")),
+                F.struct(F.lit(FIELD_KP).alias("field"), F.col("kp_toks").alias("toks")),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.field").alias("field"),
+             F.col("s.toks").alias("toks"), F.size("s.toks").alias("dl"))
+    return (streams
+            .select("doc_id", "field", "dl", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "field", "term", "dl")
+            .agg(F.count("*").alias("tf")))
+
+
+def doclen_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, field, dl) for every doc × field — includes dl=0 rows."""
+    kp_len = F.aggregate(
+        F.transform("keyphrases", lambda kp: F.size(F.split(kp, " "))),
+        F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size("tokens").alias("dl_body"),
+        kp_len.alias("dl_kp"),
+    ).select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(FIELD_BODY).alias("field"), F.col("dl_body").alias("dl")),
+            F.struct(F.lit(FIELD_KP).alias("field"), F.col("dl_kp").alias("dl")),
+        )).alias("s"),
+    ).select("doc_id", "s.field", "s.dl")
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    """{n_docs, avgdl: {field: float}} — exact, matches oracle arithmetic."""
+    rows = (doclen_table(docs).groupBy("field")
+            .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).collect())
+    d = {r["field"]: (r["s"], r["c"]) for r in rows}
+    return {
+        "n_docs": int(d[FIELD_BODY][1]),
+        "avgdl": {
+            FIELD_BODY: d[FIELD_BODY][0] / d[FIELD_BODY][1],
+            FIELD_KP: d[FIELD_KP][0] / d[FIELD_KP][1],
+        },
+    }
+
+
+def term_dict(tokens: DataFrame) -> DataFrame:
+    """(field, term, df) — document frequency per field."""
+    return tokens.groupBy("field", "term").agg(F.count("*").alias("df"))
+
+
+def _encode_partition(stats: dict, cfg: IndexConfig):
+    """mapInPandas kernel: encode sorted (term, field, segment) groups.
+
+    Input partition rows are sorted by (term, field, segment, doc_id); a
+    group may span Arrow batches, so a carry buffer holds the last
+    (possibly incomplete) group between batches.
+    """
+    from dlkp_spark.oracle import idf as idf_fn
+
+    avgdl = stats["avgdl"]
+    n_docs = stats["n_docs"]
+
+    def encode_group(g: pd.DataFrame) -> dict:
+        term = g["term"].iloc[0]
+        fld = int(g["field"].iloc[0])
+        df_global = int(g["df"].iloc[0])
+        enc = encode_postings(
+            g["doc_id"].to_numpy(), g["tf"].to_numpy(), g["dl"].to_numpy(),
+            idf=idf_fn(n_docs, df_global), avgdl=avgdl[fld],
+            p=cfg.bm25, block_size=cfg.block_size)
+        return {
+            "term": term, "field": fld, "segment": int(g["segment"].iloc[0]),
+            "df": df_global, "n_postings": enc["n_postings"],
+            "docs_vb": enc["docs_vb"], "tfs_vb": enc["tfs_vb"],
+            "dls_vb": enc["dls_vb"], "block_max": enc["block_max"],
+            "block_last": enc["block_last"], "max_contrib": enc["max_contrib"],
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            key = ["term", "field", "segment"]
+            last_key = tuple(pdf[key].iloc[-1])
+            is_last_group = (pdf[key] == last_key).all(axis=1)
+            carry = pdf[is_last_group].copy()
+            body = pdf[~is_last_group]
+            if not body.empty:
+                rows = [encode_group(g) for _, g in body.groupby(key, sort=False)]
+                yield pd.DataFrame(rows)
+        if carry is not None and not carry.empty:
+            rows = [encode_group(g) for _, g in carry.groupby(
+                ["term", "field", "segment"], sort=False)]
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    n_shards: int = 4,
+    resume: bool = True,
+) -> dict:
+    """Full SPIMI build → ``index_dir``/{segments/shard=K, stats.json, _manifests}.
+
+    ``docs`` must carry (doc_id, tokens, keyphrases). Returns build metrics.
+    Shards partition the doc-id space (shard = segment % n_shards); each
+    shard is one independent, atomically-committed Spark job, which is the
+    resume/checkpoint unit.
+    """
+    cfg = cfg or IndexConfig()
+    ch = mf.config_hash((cfg, "v1"))
+    os.makedirs(index_dir, exist_ok=True)
+
+    # --- global pass (cheap aggregations; cached inputs) -------------------
+    docs = docs.persist()
+    stats = corpus_stats(docs)
+    mf.write_global(index_dir, "stats.json", {
+        "n_docs": stats["n_docs"],
+        "avgdl": {str(k): v for k, v in stats["avgdl"].items()},
+        "config_hash": ch,
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
+        "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
+    })
+    tokens = token_table(docs).withColumn(
+        "segment", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long"))
+    dfs = term_dict(tokens)
+    tokens_df = tokens.join(dfs, ["field", "term"]).persist()
+
+    metrics = {"shards": [], "n_docs": stats["n_docs"]}
+    done = mf.completed_shards(index_dir, ch) if resume else set()
+    for shard in range(n_shards):
+        if shard in done:
+            metrics["shards"].append({"shard": shard, "skipped": True})
+            continue
+        shard_rows = tokens_df.filter(F.col("segment") % n_shards == shard)
+        encoded = (shard_rows
+                   .repartitionByRange(cfg.n_term_partitions, "term", "field", "segment")
+                   .sortWithinPartitions("term", "field", "segment", "doc_id")
+                   .mapInPandas(_encode_partition(stats, cfg), POSTINGS_SCHEMA))
+        final = os.path.join(index_dir, "segments", f"shard={shard}")
+        tmp = os.path.join(index_dir, "_tmp", f"shard={shard}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        encoded.write.mode("overwrite").parquet(tmp)
+        # per-partition lineage + metrics from the committed files
+        import pyarrow.parquet as pq
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        n_rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows for f in files)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(tmp, final)
+        payload = {
+            "shard": shard, "status": "committed", "config_hash": ch,
+            "posting_rows": n_rows, "files": sorted(files),
+            "lineage": {"input": "token_table", "filter": f"segment % {n_shards} == {shard}",
+                        "n_term_partitions": cfg.n_term_partitions},
+        }
+        mf.write_shard_manifest(index_dir, shard, payload)
+        metrics["shards"].append(payload)
+    docs.unpersist()
+    tokens_df.unpersist()
+    shutil.rmtree(os.path.join(index_dir, "_tmp"), ignore_errors=True)
+    return metrics
+
+
+def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "segments"))
+
+
+def load_stats(index_dir: str) -> dict:
+    s = mf.read_global(index_dir, "stats.json")
+    assert s is not None, f"no stats.json in {index_dir}"
+    s["avgdl"] = {int(k): v for k, v in s["avgdl"].items()}
+    return s

@@ -1,0 +1,72 @@
+"""Exact BM25 top-k as a pure DataFrame plan (no compressed index).
+
+This is SURVEY.md §7 step 3 — the minimum end-to-end slice and the built-in
+(non-WAND) fallback: docs → token table → broadcast query-terms join →
+per-(query, doc) deterministic score fold → window top-k. Everything stays
+JVM-side (whole-stage codegen); the only floating-point caveat is JVM
+``log`` vs numpy ``log`` (≤1 ulp), which the rank-identity tests treat as a
+near-tie tolerance. The production path (query/wand.py) is bit-exact with
+the oracle.
+
+Catalyst notes: the query-terms side is tiny → ``F.broadcast`` forces a
+broadcast hash join (no shuffle of the token table beyond its groupBy);
+the score fold uses ``array_sort`` + ``aggregate`` so float accumulation
+order is fixed regardless of shuffle nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import FIELD_KP, BM25Params
+from dlkp_spark.index.build import corpus_stats, term_dict, token_table
+
+
+def exact_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    p: BM25Params | None = None,
+    k: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """docs(doc_id, tokens, keyphrases) × queries(query_id, term)
+    → (query_id, rank, doc_id, score), rank 1..k per query.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats = stats or corpus_stats(docs)
+    n_docs = stats["n_docs"]
+
+    tokens = token_table(docs)
+    dfs = term_dict(tokens)
+    scored_terms = tokens.join(dfs, ["field", "term"])
+
+    q = queries.select("query_id", "term").distinct()
+    hits = scored_terms.join(F.broadcast(q), "term")
+
+    avgdl = F.when(F.col("field") == FIELD_KP, F.lit(stats["avgdl"][FIELD_KP])) \
+             .otherwise(F.lit(stats["avgdl"][0]))
+    boost = F.when(F.col("field") == FIELD_KP, F.lit(p.kp_boost)).otherwise(F.lit(1.0))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    tf_norm = (tfd * F.lit(p.k1 + 1.0)) / (
+        tfd + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * dld / avgdl))
+    contrib = boost * (idf * tf_norm)
+
+    per_doc = (hits
+               .select("query_id", "doc_id",
+                       F.struct(F.col("term"), F.col("field"),
+                                contrib.alias("contrib")).alias("c"))
+               .groupBy("query_id", "doc_id")
+               .agg(F.aggregate(
+                   F.array_sort(F.collect_list("c")),
+                   F.lit(0.0),
+                   lambda acc, x: acc + x["contrib"]).alias("score")))
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))

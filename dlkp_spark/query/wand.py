@@ -1,0 +1,259 @@
+"""Block-max WAND document-at-a-time BM25 over the compressed index.
+
+North-star query path: broadcast query terms join the posting table,
+``groupBy(query_id, segment).applyInPandas`` runs the block-max WAND kernel
+per doc-range segment (per-partition DAAT with a size-k heap), and partial
+top-k heaps merge — either relationally (window over the tiny candidate
+set) or via ``RDD.treeAggregate`` (the treeReduce heap merge of
+SURVEY.md §2.5 A6, analog of the reference's DistributedTensorGatherer at
+/root/reference/src/dlkp/extraction/trainer.py:53-75).
+
+Determinism: scores accumulate per doc in (term asc, field asc) order with
+the same float64 expression order as the oracle (dlkp_spark.oracle), so
+top-k results are bit-identical, tie-broken (score desc, doc_id asc).
+
+Scale shape: a query touches only its terms' posting rows (broadcast hash
+join, predicate pushdown on term). Work parallelizes over (query, segment)
+pairs — at 10^12 docs a single query fans out over n_docs/segment_docs
+segment tasks; the merge moves only k rows per segment.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import FIELD_KP, BM25Params
+from dlkp_spark.index.build import load_postings, load_stats
+from dlkp_spark.index.codec import decode_postings, tf_norm_vec
+from dlkp_spark.oracle import idf as idf_fn
+
+
+class _List:
+    """One decoded posting list cursor for the DAAT loop."""
+
+    __slots__ = ("key", "boost", "docs", "contribs", "block_max", "block_last",
+                 "pos", "n", "list_ub")
+
+    def __init__(self, key, boost, docs, contribs, block_max, block_last):
+        self.key = key  # (term, field) — determines scoring order
+        self.boost = float(boost)
+        self.docs = docs
+        self.contribs = contribs
+        self.block_max = block_max
+        self.block_last = block_last
+        self.pos = 0
+        self.n = len(docs)
+        self.list_ub = boost * float(contribs.max())
+
+    def cur(self) -> int:
+        return int(self.docs[self.pos]) if self.pos < self.n else -1
+
+    def advance_to(self, target: int) -> None:
+        """Move cursor to first doc >= target (galloping via searchsorted)."""
+        if self.pos < self.n and self.docs[self.pos] < target:
+            self.pos += int(np.searchsorted(self.docs[self.pos:], target, side="left"))
+
+    def block_idx(self, block_size: int) -> int:
+        return self.pos // block_size
+
+    def block_ub(self, block_size: int) -> float:
+        return self.boost * float(self.block_max[self.pos // block_size])
+
+    def block_end_doc(self, block_size: int) -> int:
+        return int(self.block_last[self.pos // block_size])
+
+
+def bmw_topk_lists(lists: list[dict], k: int, block_size: int) -> list[tuple[int, float]]:
+    """Block-max WAND over decoded lists → top-k [(doc_id, score)].
+
+    Each list dict: {term, field, boost, docs (int64 asc), contribs (f8),
+    block_max (f8 per block), block_last (int64 per block)}.
+
+    Heap keeps the k best by (score, -doc_id) so eviction respects the
+    (score desc, doc_id asc) tie-break; pruning is strict (< threshold), so
+    equal-score candidates are always fully scored — exactness before speed.
+    """
+    cursors = [
+        _List((d["term"], d["field"]), d["boost"], d["docs"], d["contribs"],
+              d["block_max"], d["block_last"])
+        for d in lists if len(d["docs"])
+    ]
+    cursors = [c for c in cursors if c.n]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of k best
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    def score_doc(d: int) -> float:
+        """Sum matching lists in (term, field) order — oracle float order."""
+        s = 0.0
+        for c in sorted((c for c in cursors if c.cur() == d), key=lambda c: c.key):
+            s += c.boost * float(c.contribs[c.pos])
+        return s
+
+    active = [c for c in cursors if c.pos < c.n]
+    while True:
+        active = [c for c in active if c.pos < c.n]
+        if not active:
+            break
+        active.sort(key=lambda c: c.cur())
+        # find pivot: smallest prefix whose Σ list-ub reaches the threshold
+        theta = threshold()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(active):
+            acc += c.list_ub
+            if acc >= theta or not np.isfinite(theta):
+                pivot = i
+                break
+        if pivot == -1:
+            break  # no doc can make the heap
+        pivot_doc = active[pivot].cur()
+        # extend the prefix over every list sitting on the pivot doc, so the
+        # block-bound check accounts for all of its potential contributors
+        while pivot + 1 < len(active) and active[pivot + 1].cur() == pivot_doc:
+            pivot += 1
+        # block-max refinement: sum of *block* upper bounds at current blocks
+        block_acc = 0.0
+        for c in active[: pivot + 1]:
+            block_acc += c.block_ub(block_size)
+        if block_acc < theta:
+            # skip: jump past the nearest block boundary among the prefix —
+            # but never past the next list's current doc (docs beyond it
+            # gain a new contributor, so the block-bound argument stops
+            # holding there; Ding & Suel BMW candidate rule)
+            next_doc = min(c.block_end_doc(block_size) for c in active[: pivot + 1]) + 1
+            if pivot + 1 < len(active):
+                next_doc = min(next_doc, active[pivot + 1].cur())
+            next_doc = max(next_doc, pivot_doc)
+            for c in active[: pivot + 1]:
+                c.advance_to(next_doc)
+            continue
+        if active[0].cur() == pivot_doc:
+            s = score_doc(pivot_doc)
+            item = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for c in active:
+                if c.cur() == pivot_doc:
+                    c.pos += 1
+        else:
+            for c in active[:pivot]:
+                c.advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def merge_topk(partials: Iterable[tuple[int, float]], k: int) -> list[tuple[int, float]]:
+    """Merge per-segment partial top-k lists (docs are segment-disjoint)."""
+    return sorted(partials, key=lambda t: (-t[1], t[0]))[:k]
+
+
+def _decode_group(g: pd.DataFrame, stats: dict, p: BM25Params) -> list[dict]:
+    lists = []
+    for r in g.itertuples(index=False):
+        docs, tfs, dls = decode_postings(r.docs_vb, r.tfs_vb, r.dls_vb)
+        contribs = idf_fn(stats["n_docs"], int(r.df)) * tf_norm_vec(
+            tfs, dls, stats["avgdl"][int(r.field)], p)
+        lists.append({
+            "term": r.term, "field": int(r.field),
+            "boost": p.kp_boost if int(r.field) == FIELD_KP else 1.0,
+            "docs": docs, "contribs": contribs,
+            "block_max": np.asarray(r.block_max, dtype=np.float64),
+            "block_last": np.asarray(r.block_last, dtype=np.int64),
+        })
+    return lists
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Batch top-k over the compressed index → (query_id, rank, doc_id, score)."""
+    p = p or BM25Params()
+    k = k or p.k
+    stats = load_stats(index_dir)
+    stats = {"n_docs": stats["n_docs"], "avgdl": stats["avgdl"]}
+    block_size_meta = load_stats(index_dir).get("block_size", 64)
+
+    pairs = [(qid, t) for qid, terms in queries for t in sorted(set(terms))]
+    if not pairs:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    q_df = spark.createDataFrame(pairs, "query_id long, term string")
+
+    postings = load_postings(spark, index_dir)
+    hits = postings.join(F.broadcast(q_df), "term")
+
+    def kernel(key, g: pd.DataFrame) -> pd.DataFrame:
+        qid, _segment = key
+        lists = _decode_group(g, stats, p)
+        top = bmw_topk_lists(lists, k, block_size_meta)
+        return pd.DataFrame({
+            "query_id": np.int64(qid),
+            "doc_id": np.array([d for d, _ in top], dtype=np.int64),
+            "score": np.array([s for _, s in top], dtype=np.float64),
+        })
+
+    partials = hits.groupBy("query_id", "segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def wand_topk_treereduce(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    p: BM25Params | None = None,
+    k: int | None = None,
+) -> list[tuple[int, int, float]]:
+    """Single-query top-k with an explicit treeReduce heap merge
+    (north_star: "treeReduce heap merge"; reference analog: distributed
+    gather, extraction/trainer.py:53-75). Returns [(rank, doc_id, score)].
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats = load_stats(index_dir)
+    block_size_meta = stats.get("block_size", 64)
+    stats = {"n_docs": stats["n_docs"], "avgdl": stats["avgdl"]}
+    uniq = sorted(set(terms))
+
+    # repartition by segment so every posting list of a segment is
+    # colocated — the kernel scores docs fully only with all of the
+    # query's lists for that doc range present
+    postings = (load_postings(spark, index_dir)
+                .filter(F.col("term").isin(uniq))
+                .repartition("segment"))
+
+    def seq_op(acc: list, rows: list) -> list:
+        return merge_topk(acc + rows, k)
+
+    def per_part(it):
+        pdf_rows = list(it)
+        if not pdf_rows:
+            return iter([[]])
+        g = pd.DataFrame([r.asDict() for r in pdf_rows])
+        out = []
+        for _seg, seg_g in g.groupby("segment", sort=False):
+            lists = _decode_group(seg_g, stats, p)
+            out.extend(bmw_topk_lists(lists, k, block_size_meta))
+        return iter([merge_topk(out, k)])
+
+    partial_rdd = postings.rdd.mapPartitions(per_part)
+    top = partial_rdd.treeAggregate([], seq_op, lambda a, b: merge_topk(a + b, k), depth=2)
+    return [(i + 1, d, s) for i, (d, s) in enumerate(merge_topk(top, k))]
