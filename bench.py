@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Measures the two north-star metrics plus headline contract queries:
+  - index_build: SPIMI build (analyze → tag → encode → commit) over a
+    deterministic generated web corpus  → docs/sec
+  - wand_query: batch block-max WAND top-10 over the built index for the
+    reference query set → queries/sec
+  - headline driver-contract queries at $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_N_DOCS (default 20000) — generated corpus size for the build/query bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "20000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from dlkp_spark import contract
+    from dlkp_spark.config import BM25Params, IndexConfig
+    from dlkp_spark.corpus import generate_web_pages
+    from dlkp_spark.index.build import build_index, prepare_docs
+    from dlkp_spark.oracle import reference_query_set
+    from dlkp_spark.query.wand import batch_topk, wand_topk
+    from dlkp_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # corpus parquet is the engine INPUT (stand-in for the Iceberg table) —
+    # generating it is not part of the measured build
+    src_dir = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
+    generate_web_pages(spark, n_docs, seed=42).write.parquet(src_dir)
+    pages = spark.read.parquet(src_dir)
+
+    # -- index build (analyze → tag → ids → encode → commit) ----------------
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    cfg = IndexConfig(segment_docs=2048, block_size=64, n_term_partitions=cpus)
+    t0 = time.perf_counter()
+    docs = prepare_docs(pages, validate=True)
+    build_index(spark, docs, idx_dir, cfg=cfg, n_shards=1, resume=False)
+    timings["index_build"] = time.perf_counter() - t0
+    extra["index_build_docs_per_sec"] = n_docs / timings["index_build"]
+    spark.catalog.clearCache()
+
+    # -- top-10 BM25 over the compressed index ------------------------------
+    queries = reference_query_set(n_queries=200)
+    t0 = time.perf_counter()
+    n_rows = batch_topk(spark, idx_dir, queries, BM25Params(), k=10).count()
+    timings["bm25_batch_200q"] = time.perf_counter() - t0
+    extra["bm25_queries_per_sec"] = len(queries) / timings["bm25_batch_200q"]
+    extra["bm25_result_rows"] = n_rows
+    t0 = time.perf_counter()
+    wand_topk(spark, idx_dir, queries[:20], BM25Params(), k=10).count()
+    timings["wand_20q"] = time.perf_counter() - t0
+    extra["wand_queries_per_sec"] = 20 / timings["wand_20q"]
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # -- headline contract queries at the sf dir ----------------------------
+    # (exact ngram_jaccard is the sf0.01 oracle variant — quadratic by
+    # design; the scale-path dedup ops benched here are minhash + simhash)
+    headline = ["bm25_topk", "term_stats", "knn_cosine",
+                "events_hourly", "fingerprint", "minhash_lsh_pairs",
+                "simhash_pairs", "dedup_exact_stats", "keyphrase_extract"]
+    for name in headline:
+        fn, _sql = contract.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "index-build docs/sec + top-10 BM25 q/s + headline query secs",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "bench_corpus_docs": n_docs,
+        "index_build_docs_per_sec": round(extra["index_build_docs_per_sec"], 1),
+        "bm25_queries_per_sec": round(extra["bm25_queries_per_sec"], 1),
+        "wand_queries_per_sec": round(extra["wand_queries_per_sec"], 1),
+    }
+    shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,24 +74,30 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
                  n_range_parts: int | None = None) -> DataFrame:
     """Dense deterministic doc_id = rank of url (0-based).
 
-    Small inputs: global ``row_number() over (order by url)``. Above
-    ``scale_threshold`` rows a single-partition window is not viable, so the
-    scale path runs two-phase: ``repartitionByRange(url)`` → per-partition
-    rank + per-partition row-count offsets joined back (the offsets table is
-    tiny — one row per partition — and broadcast). Both paths produce the
-    identical url→rank mapping, independent of where the range boundaries
+    The rank is always computed on a slim ``url``-only projection (documents
+    carry wide text/token/keyphrase columns — dragging them through a rank
+    shuffle would dominate the build), then joined back on url.
+
+    Small inputs: global ``row_number() over (order by url)`` on the slim
+    projection. Above ``scale_threshold`` rows a single-partition window is
+    not viable, so the scale path runs two-phase: ``repartitionByRange(url)``
+    → per-partition rank + per-partition row-count offsets joined back (the
+    offsets table is one row per partition, broadcast). Both paths produce
+    the identical url→rank mapping, independent of where range boundaries
     fall, so results are partitioning-invariant.
     """
     from pyspark.sql import Window
 
-    n = docs.count()
+    slim = docs.select("url")
+    n = slim.count()
     if n <= scale_threshold:
         w = Window.orderBy("url")
-        return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        ids = slim.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        return docs.join(F.broadcast(ids), "url")
 
     parts = n_range_parts or docs.sparkSession.sparkContext.defaultParallelism * 2
-    ranged = docs.repartitionByRange(parts, "url").withColumn(
-        "_part", F.spark_partition_id())
+    ranged = slim.repartitionByRange(parts, "url").withColumn(
+        "_part", F.spark_partition_id()).persist()
     offsets = (ranged.groupBy("_part").agg(F.count("*").alias("_cnt"))
                .withColumn("_off",
                            F.coalesce(
@@ -100,7 +106,8 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
                                    .rowsBetween(Window.unboundedPreceding, -1)),
                                F.lit(0))))
     w_in = Window.partitionBy("_part").orderBy("url")
-    return (ranged.withColumn("_rn", F.row_number().over(w_in).cast("long"))
-            .join(F.broadcast(offsets.select("_part", "_off")), "_part")
-            .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
-            .drop("_part", "_rn", "_off"))
+    ids = (ranged.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+           .join(F.broadcast(offsets.select("_part", "_off")), "_part")
+           .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
+           .select("url", "doc_id"))
+    return docs.join(ids, "url")

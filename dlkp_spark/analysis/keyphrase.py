@@ -149,6 +149,42 @@ def tag_and_extract(tokens: list[str], score_method: str = "avg") -> tuple[list[
 # ---------------------------------------------------------------------------
 
 
+def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
+                    score_method: str = "avg") -> DataFrame:
+    """Fused analyzer + tagger: one Python pass per Arrow batch.
+
+    html→text extraction, tokenization, and BIO tagging all happen inside a
+    single ``mapInPandas`` so the wide token arrays never round-trip
+    JVM↔Python between stages (chaining ``analyze`` → ``with_keyphrases``
+    costs two extra Arrow transfers of the largest columns — measured ~2×
+    build-time overhead at 20k docs).
+    """
+    from dlkp_spark.analysis.analyzer import extract_text_py, tokenize_py
+
+    schema = ("url string, warc_ts timestamp, text string, lang string, "
+              "tokens array<string>, keyphrases array<string>, kp_scores array<float>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (a real transformer would be loaded here, once per partition)
+        for pdf in batches:
+            extracted = pdf["html"].map(extract_text_py)
+            if validate:
+                bad = pdf.loc[extracted != pdf["text"], "url"]
+                if len(bad):
+                    raise ValueError(
+                        f"extracted text not byte-identical for urls: {bad.tolist()[:5]}")
+            tokens = extracted.map(tokenize_py)
+            results = tokens.map(lambda toks: tag_and_extract(toks, score_method))
+            yield pd.DataFrame({
+                "url": pdf["url"], "warc_ts": pdf["warc_ts"], "text": extracted,
+                "lang": pdf["lang"], "tokens": tokens,
+                "keyphrases": results.map(lambda r: r[0]),
+                "kp_scores": results.map(lambda r: r[1]),
+            })
+
+    return web_pages.mapInPandas(run, schema)
+
+
 def with_keyphrases(docs: DataFrame, score_method: str = "avg",
                     tokens_col: str = "tokens") -> DataFrame:
     """docs(+tokens array<string>) → +keyphrases array<string>,

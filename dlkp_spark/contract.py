@@ -1,0 +1,601 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL pairs.
+
+Each entry maps an operator from SURVEY.md §2 (or a training-data pipeline
+operator) onto the driver's testdata tables. The Spark side and the SQL
+side compute the same logical result with matching column names; floats
+are rounded identically on both sides. Non-SQL-expressible operators
+(BIO decode, MinHash/SimHash candidate generation, WAND internals) are
+registered without oracle SQL — the driver records rows-only checks and
+pytest covers them against pure-Python oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import BM25Params, IndexConfig
+
+# fixed query terms drawn from the testdata documents vocabulary
+Q_TERMS = ["spark", "join", "fast"]
+BATCH_QUERIES = [(0, ["data", "query"]), (1, ["window", "merge", "slow"]), (2, ["the", "hash"])]
+KP_SEEDS = ["spark", "query", "data"]
+K = 10
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the dlkp_spark package to executor Python workers.
+
+    The driver process may import this repo via sys.path manipulation, but
+    executor workers unpickle UDFs in their own interpreters —
+    ``addPyFile`` of a package zip makes the import work regardless of the
+    caller's cwd/PYTHONPATH (the spark-submit --py-files equivalent for an
+    already-running session).
+    """
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # rebuild per process so a stale zip never ships old code
+    zip_path = os.path.join(tempfile.gettempdir(), f"dlkp_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.join("dlkp_spark",
+                                           os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    # the testdata parquet is a single file → a single input partition;
+    # repartition so downstream explode/UDF stages use all cores
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def _toks(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def docs_for_engine(spark: SparkSession, sf_dir: str, tagged: bool = False) -> DataFrame:
+    """documents.parquet → engine docs shape (doc_id, tokens, keyphrases).
+
+    tagged=False → empty keyphrase field (body-only scoring, fully
+    SQL-expressible); tagged=True → stand-in tagger output (the dlkp path).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("tokens"))
+    if not tagged:
+        return d.withColumn("keyphrases", F.array().cast("array<string>"))
+    from dlkp_spark.analysis.keyphrase import with_keyphrases
+
+    return with_keyphrases(d).drop("kp_scores")
+
+
+# ---------------------------------------------------------------------------
+# engine-core queries (documents table)
+# ---------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
+    return (t.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf"))
+            .orderBy(F.col("df").desc(), "term").limit(100))
+
+
+SQL_TERM_STATS = """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 100
+"""
+
+
+def q_doclen_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("lang", F.size(_toks()).alias("dl"))
+    return (d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl")))
+
+
+SQL_DOCLEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(len(string_split(lower(text), ' '))), 6) AS avgdl
+FROM documents GROUP BY lang
+"""
+
+
+def _bm25_sql(terms: list[str], k: int, qid_select: str = "") -> str:
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT {qid_select} rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    from dlkp_spark.query.bm25 import exact_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    qdf = spark.createDataFrame([(0, t) for t in Q_TERMS], "query_id long, term string")
+    return (exact_topk(docs, qdf, BM25Params(), k=K)
+            .select("rank", "doc_id"))
+
+
+SQL_BM25_TOPK = _bm25_sql(Q_TERMS, K)
+
+
+def q_bm25_topk_batch(spark, sf_dir):
+    from dlkp_spark.query.bm25 import exact_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in BATCH_QUERIES for t in terms],
+        "query_id long, term string")
+    return exact_topk(docs, qdf, BM25Params(), k=5).select("query_id", "rank", "doc_id")
+
+
+SQL_BM25_TOPK_BATCH = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,')})"
+    for qid, terms in BATCH_QUERIES)
+
+
+def q_bm25_wand_topk(spark, sf_dir):
+    """Compressed-index WAND path on the same body-only corpus — must agree
+    with the plain-SQL BM25 oracle (rank, doc_id)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import wand_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = tempfile.mkdtemp(prefix="wandidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=2, resume=False)
+    return (wand_topk(spark, d, [(0, Q_TERMS)], BM25Params(), k=K)
+            .select("rank", "doc_id"))
+
+
+def q_kp_seed_hits(spark, sf_dir):
+    t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
+    return (t.filter(F.col("term").isin(KP_SEEDS))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf")))
+
+
+SQL_KP_SEED_HITS = f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+FROM toks WHERE term IN ({', '.join(f"'{s}'" for s in KP_SEEDS)}) GROUP BY term
+"""
+
+
+def q_kp_bigram_candidates(spark, sf_dir):
+    """Bigram keyphrase candidates: (seed term, next token) pairs."""
+    toks = _toks()
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(bigrams).alias("kp"))
+    return (d.filter(F.split("kp", " ")[0].isin(KP_SEEDS))
+            .groupBy("kp")
+            .agg(F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occ"))
+            .orderBy(F.col("n_docs").desc(), "kp").limit(50))
+
+
+SQL_KP_BIGRAM_CANDIDATES = f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, b.kp
+  FROM l, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b(kp)
+)
+SELECT kp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM bg WHERE string_split(kp, ' ')[1] IN ({', '.join(f"'{s}'" for s in KP_SEEDS)})
+GROUP BY kp ORDER BY n_docs DESC, kp LIMIT 50
+"""
+
+
+def q_keyphrase_extract(spark, sf_dir):
+    """Full dlkp BIO path (rows-only; pytest covers vs pure-Python)."""
+    docs = docs_for_engine(spark, sf_dir, tagged=True)
+    return (docs.select("doc_id", F.explode("keyphrases").alias("keyphrase"))
+            .groupBy("keyphrase").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_stats(spark, sf_dir):
+    from dlkp_spark.pipeline.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT_STATS = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from dlkp_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, n=3)
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM l
+),
+e AS (SELECT doc_id, len(shingles) AS n_sh, s.sh FROM sh, unnest(shingles) AS s(sh))
+SELECT a, b, round(inter / (na + nb - inter), 6) AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         count(*)::DOUBLE AS inter
+  FROM e x JOIN e y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+) WHERE inter / (na + nb - inter) >= 0.2
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from dlkp_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from dlkp_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") == 0).select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+def q_knn_cosine(spark, sf_dir):
+    from dlkp_spark.pipeline.similarity import brute_cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    return (brute_cosine_topk(embs, _query_vec(spark, sf_dir), k=10)
+            .select("rank", "vec_id"))
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+)
+SELECT rank, vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM sc
+) WHERE rank <= 10
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    from dlkp_spark.pipeline.similarity import lsh_cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    return lsh_cosine_topk(embs, _query_vec(spark, sf_dir), k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_langid(spark, sf_dir):
+    from dlkp_spark.pipeline.textstats import langid
+
+    return langid(_docs(spark, sf_dir))
+
+
+def _sql_marker_count(words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({in_list})))"
+
+
+SQL_LANGID = f"""
+SELECT doc_id,
+  CASE WHEN {_sql_marker_count(['the', 'and', 'of', 'data', 'query'])} >= {_sql_marker_count(['der', 'und', 'nicht'])}
+        AND {_sql_marker_count(['the', 'and', 'of', 'data', 'query'])} >= {_sql_marker_count(['le', 'les', 'est'])}
+       THEN 'en'
+       WHEN {_sql_marker_count(['der', 'und', 'nicht'])} >= {_sql_marker_count(['le', 'les', 'est'])}
+       THEN 'de' ELSE 'fr' END AS pred_lang
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    from dlkp_spark.pipeline.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_FEATURES = """
+WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
+             / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio
+FROM d
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from dlkp_spark.pipeline.textstats import token_counts_by
+
+    return token_counts_by(_docs(spark, sf_dir), "source")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT source, count(*) AS n_docs,
+       sum(len(string_split(lower(text), ' '))) AS ws_tokens,
+       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from dlkp_spark.pipeline.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+                          t -> CAST(length(t) * 131 + ascii(substr(t, 1, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_bytes(spark, sf_dir):
+    from dlkp_spark.pipeline.multimodal import attach_fake_payload
+
+    media = attach_fake_payload(_docs(spark, sf_dir))
+    return media.select("doc_id", F.length("payload").alias("n_bytes"),
+                        F.col("meta.width").alias("width"))
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       CAST(length(text) % 1024 AS INTEGER) AS width
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    from dlkp_spark.pipeline.multimodal import attach_fake_payload, byte_histogram_features
+
+    return byte_histogram_features(attach_fake_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# relational / window / set operators (SURVEY §2 parity demos)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (e.withColumn("s", starts)
+            .groupBy("user_id").agg(F.sum("s").alias("n_sessions")))
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS s
+  FROM events
+)
+SELECT user_id, sum(s) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+def q_topk_orders_per_cust(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "rnk", "o_orderkey"))
+
+
+SQL_TOPK_ORDERS_PER_CUST = """
+SELECT o_custkey, rnk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_semi_join_nations(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")))
+
+
+SQL_SEMI_JOIN_NATIONS = """
+SELECT c_nationkey, count(*) AS n_cust FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 100000)
+GROUP BY c_nationkey
+"""
+
+
+def q_present_absent_split(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("has", F.array_contains(_toks(), "spark"))
+    present = d.filter("has").select(F.lit("present").alias("label"), "doc_id")
+    absent = d.filter(~F.col("has")).select(F.lit("absent").alias("label"), "doc_id")
+    return present.unionByName(absent).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_PRESENT_ABSENT_SPLIT = """
+SELECT CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+            THEN 'present' ELSE 'absent' END AS label,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_split_percent(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bucket = (F.when(F.pmod("doc_id", F.lit(100)) < 80, "train")
+              .when(F.pmod("doc_id", F.lit(100)) < 90, "valid").otherwise("test"))
+    return d.groupBy(bucket.alias("split")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_SPLIT_PERCENT = """
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_limit_top_chars(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .orderBy(F.col("n_chars").desc(), "doc_id")
+            .limit(20).select("doc_id", "n_chars"))
+
+
+SQL_LIMIT_TOP_CHARS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+def q_confidence_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # l_linenumber has duplicates in the synthetic data, so the "first"
+    # key is (linenumber, quantity) — deterministic on both engines
+    first_key = F.col("l_linenumber").cast("double") * 1000 + F.col("l_quantity")
+    return (li.groupBy("l_orderkey").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min_by("l_quantity", first_key).alias("first_qty")))
+
+
+SQL_CONFIDENCE_AGG = """
+SELECT l_orderkey, round(avg(l_quantity), 6) AS avg_qty, max(l_quantity) AS max_qty,
+       arg_min(l_quantity, l_linenumber * 1000 + l_quantity) AS first_qty
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "term_stats": (q_term_stats, SQL_TERM_STATS),
+    "doclen_stats": (q_doclen_stats, SQL_DOCLEN_STATS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_topk_batch": (q_bm25_topk_batch, SQL_BM25_TOPK_BATCH),
+    "bm25_wand_topk": (q_bm25_wand_topk, SQL_BM25_TOPK),
+    "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
+    "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
+    "keyphrase_extract": (q_keyphrase_extract, None),
+    "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_lsh": (q_knn_lsh, None),
+    "langid": (q_langid, SQL_LANGID),
+    "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "multimodal_features": (q_multimodal_features, None),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "topk_orders_per_cust": (q_topk_orders_per_cust, SQL_TOPK_ORDERS_PER_CUST),
+    "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),
+    "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
+    "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),
+    "limit_top_chars": (q_limit_top_chars, SQL_LIMIT_TOP_CHARS),
+    "confidence_agg": (q_confidence_agg, SQL_CONFIDENCE_AGG),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: kp-boosted BM25 over the dlkp-tagged corpus."""
+    from dlkp_spark.query.bm25 import exact_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=True)
+    qdf = spark.createDataFrame([(0, t) for t in Q_TERMS], "query_id long, term string")
+    return exact_topk(docs, qdf, BM25Params(), k=K)

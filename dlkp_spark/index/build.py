@@ -51,8 +51,17 @@ POSTINGS_SCHEMA = (
 
 
 def prepare_docs(web_pages: DataFrame, validate: bool = True) -> DataFrame:
-    """web_pages → (url, warc_ts, text, lang, tokens, doc_id, keyphrases, kp_scores)."""
-    return with_keyphrases(with_doc_ids(analyze(web_pages, validate=validate)))
+    """web_pages → (url, warc_ts, text, lang, tokens, doc_id, keyphrases, kp_scores).
+
+    Analyzer + tagger run FUSED in one Arrow pass and BEFORE doc-id
+    assignment, so inference executes on the source partitioning and the
+    wide token arrays cross JVM↔Python exactly once. The tagged frame is
+    cached because the id pass reads it twice (count + rank + join-back).
+    """
+    from dlkp_spark.analysis.keyphrase import analyze_and_tag
+
+    tagged = analyze_and_tag(web_pages, validate=validate).persist()
+    return with_doc_ids(tagged)
 
 
 def token_table(docs: DataFrame) -> DataFrame:
@@ -193,7 +202,9 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     # --- global pass (cheap aggregations; cached inputs) -------------------
-    docs = docs.persist()
+    # prune to the three columns the build reads — text/url/etc. would
+    # otherwise be cached and shuffled for nothing
+    docs = docs.select("doc_id", "tokens", "keyphrases").persist()
     stats = corpus_stats(docs)
     mf.write_global(index_dir, "stats.json", {
         "n_docs": stats["n_docs"],

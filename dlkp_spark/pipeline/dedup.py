@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a documents DataFrame ``(doc_id long, text string, ...)``.
+Scale notes per operator are in docstrings — every shuffle is keyed on a
+uniform hash or salted; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate stats: (n_docs, n_unique, n_dup_docs).
+
+    Hash-groupBy on md5(text): uniform key → no skew; map-side partial
+    aggregation; at 100 TB this is one shuffle of (hash, 1) pairs.
+    """
+    return docs.select(F.md5(F.col(text_col).cast("binary")).alias("h")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact text hash (deterministic keeper)."""
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(id_col)
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _shingles(tokens_col, n: int):
+    """Token n-gram shingles via built-in higher-order functions."""
+    toks = F.col(tokens_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.withColumn("_toks", F.split(F.lower(F.col(text_col)), " ")) \
+               .withColumn("shingles", F.array_distinct(_shingles("_toks", n))) \
+               .drop("_toks")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) with a < b.
+
+    Shingle explode + self-equi-join on shingle + pair aggregation.
+    Exact but quadratic in per-shingle df — the scale path is
+    ``minhash_lsh_pairs`` (this exact variant is the oracle-checkable one;
+    at 100 TB you run it only on LSH candidates).
+    """
+    sh = (with_shingles(docs, text_col, n)
+          .select(F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"),
+                  F.explode("shingles").alias("shingle")))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                      F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (pairs.withColumn("jaccard", jacc)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over token n-gram shingles.
+
+    One explode + one groupBy with ``n_hashes`` min-aggregations (single
+    shuffle); hash family is murmur3 with the hash index as salt column —
+    fully deterministic, JVM-side.
+    """
+    exploded = (with_shingles(docs, text_col, n)
+                .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("sh")))
+    aggs = [F.min(F.hash(F.col("sh"), F.lit(j))).alias(f"h{j}") for j in range(n_hashes)]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[F.col(f"h{j}").cast("long")
+                                          for j in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 64,
+                      bands: int = 8, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", max_bucket: int = 64) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verification.
+
+    banding: ``bands`` bands of ``n_hashes/bands`` rows; docs sharing a band
+    bucket become candidates; candidates verified with exact shingle
+    Jaccard (array_intersect on the two shingle sets — the candidate set is
+    tiny relative to the corpus, so the verify join is cheap).
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    Skew guard: Zipf-skewed shingle distributions make the corpus-wide
+    minimum-hash shingle land in a large fraction of documents, producing
+    one giant bucket whose self-join is quadratic. Buckets larger than
+    ``max_bucket`` are dropped before the join (r = n_hashes/bands is set
+    high — default 8 — so a bucket that large is a stop-shingle artifact,
+    not a near-dup cluster). This is a bounded-recall knob, not a silent
+    cap: tune max_bucket up for recall, down for worst-case cost.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.hash(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bucket"))
+            for bi in range(bands)])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    sizes = (band_rows.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)))
+    band_rows = band_rows.join(sizes.select("band", "bucket"), ["band", "bucket"])
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")))
+             .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+             .distinct())
+    sh = with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("id"), F.col("shingles"))
+    verified = (cands
+                .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sa")), "a")
+                .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sb")), "b")
+                .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+                .withColumn("jaccard", F.col("inter") /
+                            (F.size("sa") + F.size("sb") - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold))
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash long) — 64-bit SimHash over tf-weighted token hashes.
+
+    Arrow-batched kernel (numpy bit matrix), deterministic (blake2b token
+    hashes — stable across JVM/Python).
+    """
+    import hashlib
+
+    def tok_h64(t: str) -> int:
+        return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col].tolist()):
+                toks = text.lower().split(" ")
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.array(toks), return_counts=True)
+                hs = np.array([tok_h64(t) for t in uniq], dtype=np.uint64)
+                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                sim = np.uint64(0)
+                for bpos in np.flatnonzero(acc > 0):
+                    sim |= np.uint64(1) << np.uint64(bpos)
+                out[i] = np.int64(sim.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, simhash long")
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", max_bucket: int = 256) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into 4 16-bit keys — any pair within
+    hamming 3 matches on ≥1 key; candidates verified with bit_count(xor).
+    Same bucket-size skew guard as minhash_lsh_pairs (similar head-token
+    distributions give correlated sign bits).
+    """
+    sig = simhash_signatures(docs, text_col, id_col)
+    keys = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)])).alias("kb"),
+    ).select("doc_id", "simhash", "kb.band", "kb.key")
+    sizes = (keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)))
+    keys = keys.join(sizes.select("band", "key"), ["band", "key"])
+    x = keys.alias("x")
+    y = keys.alias("y")
+    cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.key") == F.col("y.key"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")))
+             .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                     F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+             .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (pure built-ins:
+``zip_with`` dot product folded with ``aggregate``); the scale path is
+random-hyperplane LSH bucketing with multiprobe — both deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_cosine(embs: DataFrame, query_vec: list[float],
+                vec_col: str = "embedding") -> DataFrame:
+    """+cosine column vs a constant query vector — all JVM-side.
+
+    The query vector is a literal array (constant-folded by Catalyst);
+    dimensions cast to double before any arithmetic.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q)))
+    return embs.withColumn("cosine", cos)
+
+
+def brute_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine: (rank, vec_id, cosine). Tie-break by id asc.
+
+    Scale shape: embarrassingly parallel scan + a k-row-per-partition
+    TakeOrdered (Catalyst turns the window-over-constant into a global
+    sort limit under AQE; for 10^12 rows use ``orderBy(...).limit(k)``
+    which executes as per-partition top-k + merge).
+    """
+    scored = with_cosine(embs, query_vec, vec_col)
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", F.col(id_col).alias("vec_id"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_of(vec: np.ndarray, planes: np.ndarray) -> int:
+    bits = (planes @ vec) > 0
+    return int(np.packbits(bits[::-1].astype(np.uint8), bitorder="little")
+               .view(np.uint16)[0]) if len(bits) == 16 else int(
+        sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def with_lsh_bucket(embs: DataFrame, n_planes: int = 16, seed: int = 42,
+                    vec_col: str = "embedding") -> DataFrame:
+    """+bucket column: sign-bit hyperplane LSH, computed JVM-side.
+
+    The plane matrix is embedded as literal arrays (small: n_planes × dim
+    doubles) — on a cluster it constant-folds into codegen; no Python in
+    the scan path.
+    """
+    dim = len(embs.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embs.withColumn("bucket", bucket)
+
+
+def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
+                    n_planes: int = 8, seed: int = 42, multiprobe: int = 1,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: probe the query's bucket (+hamming-``multiprobe``
+    neighbors), brute-force cosine within candidates.
+
+    Scale shape: the bucket column is a partition key at 10^12 rows
+    (write the table partitioned/clustered by bucket → partition pruning
+    turns a full scan into reading ~(1+n_planes) buckets).
+    """
+    dim = len(query_vec)
+    planes = lsh_planes(dim, n_planes, seed)
+    qb = int(sum(1 << i for i, b in enumerate((planes @ np.asarray(query_vec)) > 0) if b))
+    probe = {qb}
+    if multiprobe >= 1:
+        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    bucketed = with_lsh_bucket(embs, n_planes, seed, vec_col)
+    cands = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    return brute_cosine_topk(cands, query_vec, k, vec_col, id_col)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dlkp_spark.config import FIELD_KP, BM25Params
-from dlkp_spark.index.build import corpus_stats, term_dict, token_table
+from dlkp_spark.index.build import corpus_stats, token_table
 
 
 def exact_topk(
@@ -39,11 +39,17 @@ def exact_topk(
     n_docs = stats["n_docs"]
 
     tokens = token_table(docs)
-    dfs = term_dict(tokens)
-    scored_terms = tokens.join(dfs, ["field", "term"])
-
+    # broadcast the query terms FIRST: the full-table (tokens ⋈ df) join
+    # would shuffle every token row; joining the tiny query side up front
+    # prunes to query-term rows before any wide shuffle, and df for those
+    # terms is exactly computable from the pruned rows (one row per
+    # (doc, field, term)). Cached because it feeds both df and scoring.
     q = queries.select("query_id", "term").distinct()
-    hits = scored_terms.join(F.broadcast(q), "term")
+    q_terms = q.select("term").distinct()
+    term_rows = tokens.join(F.broadcast(q_terms), "term").persist()
+    dfs = term_rows.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
+    hits = (term_rows.join(F.broadcast(dfs), ["field", "term"])
+            .join(F.broadcast(q), "term"))
 
     avgdl = F.when(F.col("field") == FIELD_KP, F.lit(stats["avgdl"][FIELD_KP])) \
              .otherwise(F.lit(stats["avgdl"][0]))

@@ -215,6 +215,78 @@ def wand_topk(
             .select("query_id", "rank", "doc_id", "score"))
 
 
+def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time exact scoring for one query × segment.
+
+    Lists must be sorted by (term, field); ``np.add.at`` then accumulates
+    per-doc contributions in exactly the oracle's float order (term asc,
+    body before kp), so scores stay bit-identical to the WAND/oracle paths.
+    """
+    if not lists:
+        return []
+    docs = np.concatenate([lst["docs"] for lst in lists])
+    contribs = np.concatenate([lst["boost"] * lst["contribs"] for lst in lists])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, contribs)
+    order = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
+def batch_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    Unlike ``wand_topk`` (which replicates and re-decodes a posting row for
+    every query touching its term), this ships each (term, segment) posting
+    row exactly once, decodes it once, and scores every query against the
+    decoded lists with vectorized TAAT accumulation — the right trade at
+    batch sizes where most lists are shared between queries. Results are
+    bit-identical to wand_topk/oracle. Returns (query_id, rank, doc_id, score).
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    postings = load_postings(spark, index_dir).join(F.broadcast(t_df), "term")
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        lists = _decode_group(g, stats, p)
+        by_term: dict[str, list[dict]] = {}
+        for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
+            by_term.setdefault(lst["term"], []).append(lst)
+        qids, dids, scores = [], [], []
+        for qid, terms in qmap:
+            q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+            for d, s in _taat_topk(q_lists, k):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    partials = postings.groupBy("segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def wand_topk_treereduce(
     spark: SparkSession,
     index_dir: str,

@@ -1,0 +1,96 @@
+"""Incremental index ingest via Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.10), so this is an
+engine-side extension: new web pages arrive as files (stand-in for a Kafka
+/ Iceberg CDC feed), and each micro-batch is analyzed, tagged and appended
+to the index as a NEW doc-range segment family via ``foreachBatch`` —
+exactly the LSM shape that ``index.merge.merge_segments`` compacts.
+
+Doc ids for streamed batches are allocated from a monotonically increasing
+base recorded in the index's ingest manifest (streamed docs don't get
+url-rank ids — they're appended after the batch-built id space, like any
+log-structured index).
+
+Limitations vs the batch build (documented, not hidden): per-batch df/idf
+and avgdl are computed batch-locally, so streamed segments' block-max
+metadata is admissible only within the segment; a compaction pass
+(merge_segments) rebuilding global stats restores exact global BM25. The
+test asserts exactly this: stream-append + recompute == batch build.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dlkp_spark.config import IndexConfig
+from dlkp_spark.index import manifest as mf
+from dlkp_spark.index.build import build_index, prepare_docs
+
+
+def _next_doc_base(index_dir: str) -> int:
+    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": []}
+    return int(m["next_doc_id"])
+
+
+def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
+                 cfg: IndexConfig, batch_id: int) -> int:
+    """Index one micro-batch of pages as new segments; returns rows indexed.
+
+    Each batch gets its own shard namespace (``shard=s{batch}``) and its
+    doc ids start at the recorded high-water mark — idempotent per
+    batch_id: a replayed batch (streaming retry) overwrites its own shard
+    only (exactly-once effect on the index).
+    """
+    from pyspark.sql import functions as F
+
+    base = _next_doc_base(index_dir)
+    docs = prepare_docs(pages, validate=False).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base))
+    n = docs.count()
+    if n == 0:
+        return 0
+    sub_dir = os.path.join(index_dir, "stream", f"batch={batch_id}")
+    build_index(spark, docs, sub_dir, cfg=cfg, n_shards=1, resume=False)
+    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": []}
+    m["next_doc_id"] = base + n
+    m["batches"] = sorted(set(m.get("batches", []) + [batch_id]))
+    mf.write_global(index_dir, "ingest.json", m)
+    return n
+
+
+def load_stream_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Union of the base index segments (if any) and all streamed batches."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(index_dir, "stream", "batch=*", "segments")))
+    base = os.path.join(index_dir, "segments")
+    if os.path.isdir(base):
+        paths.insert(0, base)
+    assert paths, f"no segments under {index_dir}"
+    return spark.read.parquet(*paths)
+
+
+def incremental_index_stream(spark: SparkSession, input_dir: str, index_dir: str,
+                             cfg: IndexConfig | None = None,
+                             checkpoint_dir: str | None = None):
+    """readStream on a file source → foreachBatch index append.
+
+    Returns the StreamingQuery; caller drives it (``processAllAvailable``
+    in tests, ``awaitTermination`` in production).
+    """
+    cfg = cfg or IndexConfig()
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(spark, batch_df, index_dir, cfg, int(batch_id))
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation",
+                    checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint"))
+            .trigger(availableNow=True)
+            .start())

@@ -85,6 +85,18 @@ def test_wand_path_bit_identical(spark, index_dir, oracle_results):
         assert_rank_identical(got, want, bit_exact=True)
 
 
+def test_batch_taat_path_bit_identical(spark, index_dir, oracle_results):
+    from dlkp_spark.query.wand import batch_topk
+
+    got_rows = batch_topk(spark, index_dir, QUERIES, BM25Params(), k=K).collect()
+    by_q = {}
+    for r in got_rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, want in oracle_results.items():
+        got = sorted(by_q.get(qid, []))
+        assert_rank_identical(got, want, bit_exact=True)
+
+
 def test_treereduce_single_query_matches(spark, index_dir, oracle_idx):
     for qid, terms in QUERIES[:5]:
         want = bm25_topk(oracle_idx, terms, k=K)

@@ -1,0 +1,60 @@
+"""Structured Streaming incremental ingest: exactly-once per batch,
+monotonic doc-id allocation, content equivalence with the oracle index."""
+
+import numpy as np
+import pytest
+
+from dlkp_spark.config import FIELD_BODY, IndexConfig
+from dlkp_spark.corpus import generate_web_pages
+from dlkp_spark.index import manifest as mf
+from dlkp_spark.index.codec import decode_postings
+from dlkp_spark.oracle import build_oracle_index
+from dlkp_spark.streaming.ingest import incremental_index_stream, load_stream_postings
+
+CFG = IndexConfig(segment_docs=64, block_size=16, n_term_partitions=4)
+N = 150
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = str(base / "incoming")
+    index_dir = str(base / "idx")
+    pages = generate_web_pages(spark, N, seed=42).persist()
+    # three arrival waves as separate files
+    for i in range(3):
+        (pages.filter(f"pmod(crc32(url), 3) = {i}")
+         .coalesce(1).write.mode("append").parquet(input_dir))
+    q = incremental_index_stream(spark, input_dir, index_dir, CFG)
+    q.awaitTermination(120)
+    return input_dir, index_dir, pages
+
+
+def test_all_docs_ingested_exactly_once(spark, stream_dirs):
+    _, index_dir, _ = stream_dirs
+    m = mf.read_global(index_dir, "ingest.json")
+    assert m["next_doc_id"] == N
+    assert len(m["batches"]) >= 1
+
+
+def test_streamed_postings_content_matches_oracle(spark, stream_dirs):
+    _, index_dir, pages = stream_dirs
+    postings = load_stream_postings(spark, index_dir).filter("field = 0").collect()
+    # doc ids are allocation-order, so compare term -> multiset of tfs
+    got: dict[str, list[int]] = {}
+    for r in postings:
+        _, tfs, _ = decode_postings(r["docs_vb"], r["tfs_vb"], r["dls_vb"])
+        got.setdefault(r["term"], []).extend(int(t) for t in tfs)
+    rows = pages.select("text").collect()
+    oracle_idx = build_oracle_index([(i, r["text"]) for i, r in enumerate(rows)])
+    want = {t: sorted(d.values()) for t, d in oracle_idx.postings[FIELD_BODY].items()}
+    assert {t: sorted(v) for t, v in got.items()} == want
+
+
+def test_restart_is_idempotent(spark, stream_dirs):
+    input_dir, index_dir, _ = stream_dirs
+    before = mf.read_global(index_dir, "ingest.json")
+    q = incremental_index_stream(spark, input_dir, index_dir, CFG)
+    q.awaitTermination(60)
+    after = mf.read_global(index_dir, "ingest.json")
+    assert after["next_doc_id"] == before["next_doc_id"]  # nothing re-ingested
