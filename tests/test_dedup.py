@@ -1,0 +1,86 @@
+"""Dedup operators: exact vs LSH recall, simhash hamming, skew guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlkp_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+    with_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with planted exact dups and near-dups."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    rows = [
+        (0, base), (1, base),                      # exact dup pair
+        (2, base + " w17"), (3, base + " w18"),    # near dups of base
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        (5, "x1 x2 x3 x4 x5 x6 x7 x8 x9 zz"),      # near dup of 4
+        (6, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),     # unique
+        (7, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"),     # unique
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_stats(spark, docs):
+    r = exact_dedup_stats(docs).collect()[0]
+    assert (r["n_docs"], r["n_unique"], r["n_dup_docs"]) == (8, 7, 1)
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert 0 in kept and 1 not in kept and len(kept) == 7
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (4, 5) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates must recover every exact pair above the threshold
+    (tiny corpus → no bucket caps trigger) with identical jaccard values."""
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert set(exact) <= set(lsh) or set(exact) == set(lsh)
+    for k in exact:
+        assert lsh[k] == exact[k]
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+
+
+def test_simhash_pairs_hamming(spark, docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+    for (a, b), h in pairs.items():
+        assert 0 <= h <= 8 and a < b
+
+
+def test_shingles_short_doc_fallback(spark):
+    d = spark.createDataFrame([(0, "only two")], "doc_id long, text string")
+    row = with_shingles(d, n=3).collect()[0]
+    assert row["shingles"] == ["only two"]
+
+
+def test_bucket_cap_drops_giant_buckets(spark):
+    """100 identical docs → every band bucket has 100 members; with
+    max_bucket=50 the join is suppressed entirely (skew guard)."""
+    rows = [(i, "a b c d e f g h i j k l") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_lsh_pairs(d, threshold=0.9, max_bucket=50).count() == 0
+    assert minhash_lsh_pairs(d, threshold=0.9, max_bucket=200).count() == 100 * 99 // 2

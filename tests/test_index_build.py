@@ -20,8 +20,8 @@ from dlkp_spark.index.build import (
 from dlkp_spark.index.codec import decode_postings
 from dlkp_spark.oracle import build_oracle_index
 
-N_DOCS = 250
-CFG = IndexConfig(segment_docs=64, block_size=16, n_term_partitions=8)
+N_DOCS = 200
+CFG = IndexConfig(segment_docs=64, block_size=16, n_term_partitions=4)
 
 
 @pytest.fixture(scope="module")

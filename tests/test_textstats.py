@@ -1,0 +1,62 @@
+"""Text-analysis operators: deterministic values on hand-checkable rows."""
+
+import pytest
+
+from dlkp_spark.pipeline.multimodal import attach_fake_payload, byte_histogram_features, decode_image
+from dlkp_spark.pipeline.textstats import doc_fingerprint, langid, quality_features, token_counts_by
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the data query is fast", "s0"),
+        (1, "der und nicht der und", "s0"),
+        (2, "le les est le", "s1"),
+        (3, "zz yy xx", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_langid_markers(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in langid(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "en"}  # tie → en
+
+
+def test_quality_features_values(spark, docs):
+    r = {x["doc_id"]: x for x in quality_features(docs).collect()}[0]
+    # "the data query is fast": 5 tokens, 22 chars, (22-4)/5 avg len
+    assert r["n_tokens"] == 5 and r["n_chars"] == 22
+    assert r["avg_token_len"] == pytest.approx(3.6)
+    assert r["stopword_ratio"] == pytest.approx(0.4)  # the, is
+
+
+def test_token_counts(spark, docs):
+    got = {r["source"]: (r["n_docs"], r["ws_tokens"]) for r in token_counts_by(docs).collect()}
+    assert got["s0"] == (2, 10) and got["s1"] == (2, 7)
+
+
+def test_fingerprint_deterministic_and_rolling(spark, docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert a == b
+    # pure-python mirror for doc 3: "zz yy xx"
+    acc = 0
+    for t in ["zz", "yy", "xx"]:
+        acc = (acc * 1000003 + (len(t) * 131 + ord(t[0]))) % 2147483647
+    assert a[3] == acc
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_payload(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[0]["payload"] == b"the data query is fast"
+    assert rows[0]["meta"]["codec"] == "raw"
+    feats = {r["doc_id"]: r for r in byte_histogram_features(media).collect()}
+    assert feats[0]["n_bytes"] == 22
+    assert sum(feats[0]["hist"]) == pytest.approx(1.0, abs=1e-3)
+    assert len(feats[0]["hist"]) == 16
+
+
+def test_decode_stub_raises(spark, docs):
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_image(attach_fake_payload(docs))
