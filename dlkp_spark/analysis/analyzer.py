@@ -71,7 +71,8 @@ def analyze(web_pages: DataFrame, validate: bool = True) -> DataFrame:
 
 
 def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
-                 n_range_parts: int | None = None) -> DataFrame:
+                 n_range_parts: int | None = None,
+                 n_docs: int | None = None) -> DataFrame:
     """Dense deterministic doc_id = rank of url (0-based).
 
     The rank is always computed on a slim ``url``-only projection (documents
@@ -89,7 +90,7 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
     from pyspark.sql import Window
 
     slim = docs.select("url")
-    n = slim.count()
+    n = n_docs if n_docs is not None else slim.count()
     if n <= scale_threshold:
         w = Window.orderBy("url")
         ids = slim.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)

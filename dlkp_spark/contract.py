@@ -226,6 +226,41 @@ GROUP BY kp ORDER BY n_docs DESC, kp LIMIT 50
 """
 
 
+def q_one2many_targets(spark, sf_dir):
+    """One2many generation-target build (reference M15/M16,
+    datasets/generation.py:103-177): present keyphrase candidates ordered
+    by first text position, joined with the ``[KP_SEP]`` token; round-trip
+    split checked by the oracle comparing the joined string."""
+    toks = _toks()
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.posexplode(bigrams).alias("pos", "kp"))
+         .filter(F.split("kp", " ")[0].isin(KP_SEEDS)))
+    first = d.groupBy("doc_id", "kp").agg(F.min("pos").alias("pos"))
+    ordered = (first.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "kp"))).alias("a")))
+    target = F.array_join(F.transform("a", lambda s: s["kp"]), " [KP_SEP] ")
+    return ordered.select("doc_id", target.alias("target"),
+                          F.size("a").alias("n_kps"))
+
+
+SQL_ONE2MANY_TARGETS = f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] || ' ' || toks[i+1] AS kp
+  FROM l, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] IN ({', '.join(f"'{s}'" for s in KP_SEEDS)})
+),
+first AS (SELECT doc_id, kp, min(pos) AS pos FROM bg GROUP BY doc_id, kp)
+SELECT doc_id, string_agg(kp, ' [KP_SEP] ' ORDER BY pos, kp) AS target,
+       count(*) AS n_kps
+FROM first GROUP BY doc_id
+"""
+
+
 def q_keyphrase_extract(spark, sf_dir):
     """Full dlkp BIO path (rows-only; pytest covers vs pure-Python)."""
     docs = docs_for_engine(spark, sf_dir, tagged=True)
@@ -324,8 +359,18 @@ SELECT rank, vec_id FROM (
 def q_knn_lsh(spark, sf_dir):
     from dlkp_spark.pipeline.similarity import lsh_cosine_topk
 
+    ensure_shipped(spark)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
     return lsh_cosine_topk(embs, _query_vec(spark, sf_dir), k=10, n_planes=8)
+
+
+def q_knn_ivf(spark, sf_dir):
+    from dlkp_spark.pipeline.similarity import ivf_cosine_topk
+
+    ensure_shipped(spark)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    return ivf_cosine_topk(embs, _query_vec(spark, sf_dir), k=10,
+                           n_centroids=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +613,7 @@ QUERIES = {
     "bm25_wand_topk": (q_bm25_wand_topk, SQL_BM25_TOPK),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
+    "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
     "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -575,6 +621,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, None),
+    "knn_ivf": (q_knn_ivf, None),
     "langid": (q_langid, SQL_LANGID),
     "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

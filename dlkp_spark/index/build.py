@@ -50,7 +50,8 @@ POSTINGS_SCHEMA = (
 )
 
 
-def prepare_docs(web_pages: DataFrame, validate: bool = True) -> DataFrame:
+def prepare_docs(web_pages: DataFrame, validate: bool = True,
+                 n_docs: int | None = None) -> DataFrame:
     """web_pages → (url, warc_ts, text, lang, tokens, doc_id, keyphrases, kp_scores).
 
     Analyzer + tagger run FUSED in one Arrow pass and BEFORE doc-id
@@ -61,7 +62,7 @@ def prepare_docs(web_pages: DataFrame, validate: bool = True) -> DataFrame:
     from dlkp_spark.analysis.keyphrase import analyze_and_tag
 
     tagged = analyze_and_tag(web_pages, validate=validate).persist()
-    return with_doc_ids(tagged)
+    return with_doc_ids(tagged, n_docs=n_docs)
 
 
 def token_table(docs: DataFrame) -> DataFrame:
@@ -71,26 +72,19 @@ def token_table(docs: DataFrame) -> DataFrame:
     row itself (so docs with zero keyphrases still contribute dl=0 to
     avgdl, matching the oracle).
     """
+    # Two direct explodes unioned — NOT an array-of-structs staging row,
+    # which would copy every token array before exploding it (measured:
+    # the copy + GC dominated the build at high thread counts).
     kp_tokens = F.flatten(F.transform("keyphrases", lambda kp: F.split(kp, " ")))
-    base = docs.select(
-        "doc_id",
-        F.col("tokens").alias("body_toks"),
-        kp_tokens.alias("kp_toks"),
-    )
-    streams = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(FIELD_BODY).alias("field"), F.col("body_toks").alias("toks")),
-                F.struct(F.lit(FIELD_KP).alias("field"), F.col("kp_toks").alias("toks")),
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.field").alias("field"),
-             F.col("s.toks").alias("toks"), F.size("s.toks").alias("dl"))
-    return (streams
-            .select("doc_id", "field", "dl", F.explode("toks").alias("term"))
+    body = docs.select(
+        "doc_id", F.lit(FIELD_BODY).alias("field"),
+        F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
+    kp = (docs.select("doc_id", kp_tokens.alias("kp_toks"))
+          .select("doc_id", F.lit(FIELD_KP).alias("field"),
+                  F.size("kp_toks").alias("dl"), F.explode("kp_toks").alias("term")))
+    return (body.unionByName(kp)
             .groupBy("doc_id", "field", "term", "dl")
-            .agg(F.count("*").alias("tf")))
+            .agg(F.count(F.lit(1)).alias("tf")))
 
 
 def doclen_table(docs: DataFrame) -> DataFrame:
@@ -98,17 +92,10 @@ def doclen_table(docs: DataFrame) -> DataFrame:
     kp_len = F.aggregate(
         F.transform("keyphrases", lambda kp: F.size(F.split(kp, " "))),
         F.lit(0), lambda acc, x: acc + x)
-    return docs.select(
-        "doc_id",
-        F.size("tokens").alias("dl_body"),
-        kp_len.alias("dl_kp"),
-    ).select(
-        "doc_id",
-        F.explode(F.array(
-            F.struct(F.lit(FIELD_BODY).alias("field"), F.col("dl_body").alias("dl")),
-            F.struct(F.lit(FIELD_KP).alias("field"), F.col("dl_kp").alias("dl")),
-        )).alias("s"),
-    ).select("doc_id", "s.field", "s.dl")
+    body = docs.select("doc_id", F.lit(FIELD_BODY).alias("field"),
+                       F.size("tokens").alias("dl"))
+    kp = docs.select("doc_id", F.lit(FIELD_KP).alias("field"), kp_len.alias("dl"))
+    return body.unionByName(kp)
 
 
 def corpus_stats(docs: DataFrame) -> dict:
@@ -125,6 +112,27 @@ def corpus_stats(docs: DataFrame) -> dict:
     }
 
 
+def stats_from_tokens(tokens: DataFrame, n_docs: int) -> dict:
+    """Corpus stats computed from the cached token table instead of a
+    second scan of the wide docs frame.
+
+    avgdl = Σ per-(doc, field) stream length / n_docs. Docs with an empty
+    field contribute 0 to the sum and are absent from the token table, so
+    summing distinct (doc_id, field, dl) rows divided by the total doc
+    count is exactly the oracle's arithmetic (integer sum, one division).
+    """
+    rows = (tokens.select("doc_id", "field", "dl").distinct()
+            .groupBy("field").agg(F.sum("dl").alias("s")).collect())
+    sums = {r["field"]: r["s"] for r in rows}
+    return {
+        "n_docs": n_docs,
+        "avgdl": {
+            FIELD_BODY: sums.get(FIELD_BODY, 0) / n_docs,
+            FIELD_KP: sums.get(FIELD_KP, 0) / n_docs,
+        },
+    }
+
+
 def term_dict(tokens: DataFrame) -> DataFrame:
     """(field, term, df) — document frequency per field."""
     return tokens.groupBy("field", "term").agg(F.count("*").alias("df"))
@@ -136,29 +144,58 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
     Input partition rows are sorted by (term, field, segment, doc_id); a
     group may span Arrow batches, so a carry buffer holds the last
     (possibly incomplete) group between batches.
+
+    Group iteration is vectorized: boundaries come from numpy change-point
+    detection over the sorted keys and groups are sliced positionally —
+    pandas ``groupby`` over ~10^5 tiny groups per partition costs more than
+    the encoding itself.
     """
+    import numpy as np
+
     from dlkp_spark.oracle import idf as idf_fn
 
     avgdl = stats["avgdl"]
     n_docs = stats["n_docs"]
 
-    def encode_group(g: pd.DataFrame) -> dict:
-        term = g["term"].iloc[0]
-        fld = int(g["field"].iloc[0])
-        df_global = int(g["df"].iloc[0])
-        enc = encode_postings(
-            g["doc_id"].to_numpy(), g["tf"].to_numpy(), g["dl"].to_numpy(),
-            idf=idf_fn(n_docs, df_global), avgdl=avgdl[fld],
-            p=cfg.bm25, block_size=cfg.block_size)
-        return {
-            "term": term, "field": fld, "segment": int(g["segment"].iloc[0]),
-            "df": df_global, "n_postings": enc["n_postings"],
-            "docs_vb": enc["docs_vb"], "tfs_vb": enc["tfs_vb"],
-            "dls_vb": enc["dls_vb"], "block_max": enc["block_max"],
-            "block_last": enc["block_last"], "max_contrib": enc["max_contrib"],
-        }
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        fields = pdf["field"].to_numpy()
+        segments = pdf["segment"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        dfg = pdf["df"].to_numpy()
+        n = len(pdf)
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+            | (segments[1:] != segments[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [n]))
+        out = {k: [] for k in ("term", "field", "segment", "df", "n_postings",
+                               "docs_vb", "tfs_vb", "dls_vb", "block_max",
+                               "block_last", "max_contrib")}
+        for s, e in zip(starts, ends):
+            fld = int(fields[s])
+            df_global = int(dfg[s])
+            enc = encode_postings(
+                doc_ids[s:e], tfs[s:e], dls[s:e],
+                idf=idf_fn(n_docs, df_global), avgdl=avgdl[fld],
+                p=cfg.bm25, block_size=cfg.block_size)
+            out["term"].append(terms[s])
+            out["field"].append(fld)
+            out["segment"].append(int(segments[s]))
+            out["df"].append(df_global)
+            out["n_postings"].append(enc["n_postings"])
+            out["docs_vb"].append(enc["docs_vb"])
+            out["tfs_vb"].append(enc["tfs_vb"])
+            out["dls_vb"].append(enc["dls_vb"])
+            out["block_max"].append(enc["block_max"])
+            out["block_last"].append(enc["block_last"])
+            out["max_contrib"].append(enc["max_contrib"])
+        return pd.DataFrame(out)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = ["term", "field", "segment"]
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None:
@@ -166,18 +203,14 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
             if pdf.empty:
                 carry = None
                 continue
-            key = ["term", "field", "segment"]
             last_key = tuple(pdf[key].iloc[-1])
             is_last_group = (pdf[key] == last_key).all(axis=1)
             carry = pdf[is_last_group].copy()
             body = pdf[~is_last_group]
             if not body.empty:
-                rows = [encode_group(g) for _, g in body.groupby(key, sort=False)]
-                yield pd.DataFrame(rows)
+                yield encode_block(body)
         if carry is not None and not carry.empty:
-            rows = [encode_group(g) for _, g in carry.groupby(
-                ["term", "field", "segment"], sort=False)]
-            yield pd.DataFrame(rows)
+            yield encode_block(carry)
 
     return run
 
@@ -189,6 +222,7 @@ def build_index(
     cfg: IndexConfig | None = None,
     n_shards: int = 4,
     resume: bool = True,
+    n_docs: int | None = None,
 ) -> dict:
     """Full SPIMI build → ``index_dir``/{segments/shard=K, stats.json, _manifests}.
 
@@ -201,11 +235,18 @@ def build_index(
     ch = mf.config_hash((cfg, "v1"))
     os.makedirs(index_dir, exist_ok=True)
 
-    # --- global pass (cheap aggregations; cached inputs) -------------------
-    # prune to the three columns the build reads — text/url/etc. would
-    # otherwise be cached and shuffled for nothing
-    docs = docs.select("doc_id", "tokens", "keyphrases").persist()
-    stats = corpus_stats(docs)
+    # --- global pass --------------------------------------------------------
+    # prune to the three columns the build reads. The wide docs frame is
+    # scanned exactly ONCE (into the slim cached token table) — persisting
+    # wide token arrays costs more than re-scanning, and stats/df both come
+    # from the token cache. ``n_docs`` is accepted as a hint to skip the
+    # extra count job when the caller already knows it.
+    docs = docs.select("doc_id", "tokens", "keyphrases")
+    tokens = token_table(docs).withColumn(
+        "segment", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")).persist()
+    if n_docs is None:
+        n_docs = docs.select("doc_id").count()
+    stats = stats_from_tokens(tokens, n_docs)
     mf.write_global(index_dir, "stats.json", {
         "n_docs": stats["n_docs"],
         "avgdl": {str(k): v for k, v in stats["avgdl"].items()},
@@ -213,10 +254,8 @@ def build_index(
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
     })
-    tokens = token_table(docs).withColumn(
-        "segment", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long"))
-    dfs = term_dict(tokens)
-    tokens_df = tokens.join(dfs, ["field", "term"]).persist()
+    dfs = term_dict(tokens).persist()
+    tokens_df = tokens.join(dfs, ["field", "term"])
 
     metrics = {"shards": [], "n_docs": stats["n_docs"]}
     done = mf.completed_shards(index_dir, ch) if resume else set()
@@ -248,8 +287,8 @@ def build_index(
         }
         mf.write_shard_manifest(index_dir, shard, payload)
         metrics["shards"].append(payload)
-    docs.unpersist()
-    tokens_df.unpersist()
+    tokens.unpersist()
+    dfs.unpersist()
     shutil.rmtree(os.path.join(index_dir, "_tmp"), ignore_errors=True)
     return metrics
 

@@ -1,0 +1,118 @@
+"""Evaluation harness: keyphrase-level P@k / R@k / F1@k and rank-identity
+checks, mirroring the reference semantics at
+/root/reference/src/dlkp/metrics/metrics.py:59-132:
+
+- per-example: predicted and gold keyphrase lists are (optionally
+  normalized then) set-ified; ``correctly_matched`` is the membership
+  indicator over the predicted set; P@k = hits-in-first-k / k,
+  R@k = hits-in-first-k / |gold|, F1 harmonic; k ∈ {5, 10, "m"} where
+  "m" = number of predictions (``calculate_f1_k``, :108-132).
+- corpus-level: plain average over examples (``compute_kp_level_metrics``,
+  :59-76 — A1 in SURVEY §2.5).
+
+The reference stems with Porter (nltk, absent here); the engine's
+normalizer is the analyzer fold (lowercase), injectable for parity tests.
+
+Both a pure-Python version (for small eval sets) and a distributed
+DataFrame version (explode → semi-join → window agg — A2/A3 pattern) are
+provided; they are tested equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KS = (5, 10, "m")
+
+
+def f1_at_k(correctly_matched: list[int], n_gold: int, k) -> dict:
+    """Mirror of calculate_f1_k (metrics.py:108-132), including its quirks:
+    P@m uses k=len(predictions) and returns 0.0 when there are none."""
+    name = k
+    if isinstance(k, str):
+        k = len(correctly_matched)
+    p = float(sum(correctly_matched[:k])) / float(k) if k != 0 else 0.0
+    r = float(sum(correctly_matched[:k])) / float(n_gold) if n_gold != 0 else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+    return {f"P@{name}": p, f"R@{name}": r, f"F1@{name}": f1}
+
+
+def compute_f1s(predicted: list[str], gold: list[str],
+                normalize: Callable[[str], str] | None = None) -> dict:
+    """Mirror of compute_f1s (metrics.py:79-105) with the same
+    set-membership semantics. NB the reference iterates ``set(predicted)``
+    — Python set order; we keep first-occurrence order of the deduped
+    predictions, which is deterministic and order-stable (the engine's
+    dedup already emits first-wins order, M7)."""
+    norm = normalize or (lambda s: s.lower())
+    pred_n = [norm(p) for p in predicted]
+    gold_set = {norm(g) for g in gold}
+    seen: set[str] = set()
+    pred_dedup = [p for p in pred_n if not (p in seen or seen.add(p))]
+    matched = [1 if p in gold_set else 0 for p in pred_dedup]
+    out: dict = {}
+    for k in KS:
+        out.update(f1_at_k(matched, len(gold_set), k))
+    return out
+
+
+def compute_kp_level_metrics(predictions: list[list[str]],
+                             originals: list[list[str]],
+                             normalize: Callable[[str], str] | None = None) -> dict:
+    """Corpus average (metrics.py:59-76)."""
+    assert len(predictions) == len(originals)
+    acc: dict = {}
+    for pred, gold in zip(predictions, originals):
+        for key, v in compute_f1s(pred, gold, normalize).items():
+            acc[key] = acc.get(key, 0.0) + v
+    n = len(predictions)
+    return {key: v / n for key, v in acc.items()} if n else {}
+
+
+def kp_metrics_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Distributed corpus metrics.
+
+    pred: (doc_id, keyphrases array<string>) — already normalized/deduped
+    in order; gold: (doc_id, keyphrases array<string>).
+    Returns one row with avg P@/R@/F1@ for k in {5, 10, m}.
+
+    Plan shape: one broadcast-free equi-join on doc_id + one aggregation;
+    membership is per-row ``array``-wise (J3 analog), no explode shuffle.
+    """
+    j = (pred.select("doc_id", F.col("keyphrases").alias("p"))
+         .join(gold.select("doc_id",
+                           F.transform("keyphrases", lambda g: F.lower(g)).alias("g")),
+               "doc_id"))
+    matched = F.transform(
+        "p", lambda kp: F.when(F.array_contains("g", F.lower(kp)), 1).otherwise(0))
+    j = j.select(F.col("g"), matched.alias("m"))
+
+    def stats(k_expr, name):
+        hits = F.aggregate(F.slice("m", 1, k_expr), F.lit(0), lambda a, x: a + x) \
+            .cast("double")
+        p = F.when(k_expr != 0, hits / k_expr).otherwise(F.lit(0.0))
+        r = F.when(F.size("g") != 0, hits / F.size("g")).otherwise(F.lit(0.0))
+        f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+        return [F.avg(p).alias(f"P@{name}"), F.avg(r).alias(f"R@{name}"),
+                F.avg(f1).alias(f"F1@{name}")]
+
+    aggs = []
+    for k in (5, 10):
+        # reference divides by the fixed k even when fewer predictions exist
+        aggs += stats(F.lit(k), k)
+    aggs += stats(F.size("m"), "m")
+    return j.groupBy().agg(*aggs)
+
+
+def rank_identity_report(got: list[tuple[int, int, float]],
+                         want: list[tuple[int, int, float]]) -> dict:
+    """Compare two (rank, doc_id, score) rankings: exact-rank identity and
+    score agreement — the engine's acceptance check (north_rule)."""
+    ids_equal = [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    score_bits = all(gs == ws for (_, _, gs), (_, _, ws) in zip(got, want)) \
+        if len(got) == len(want) else False
+    return {"rank_identical": ids_equal, "scores_bit_identical": score_bits,
+            "n_got": len(got), "n_want": len(want)}

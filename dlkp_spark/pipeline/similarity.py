@@ -77,6 +77,67 @@ def with_lsh_bucket(embs: DataFrame, n_planes: int = 16, seed: int = 42,
     return embs.withColumn("bucket", bucket)
 
 
+def ivf_centroids(embs: DataFrame, n_centroids: int = 16, seed: int = 42,
+                  vec_col: str = "embedding", iters: int = 5) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a deterministic sample.
+
+    Distributed shape: TRAIN on a driver-side sample (standard practice —
+    IVF training is O(sample), independent of corpus size), ASSIGN
+    distributed. Sampling is deterministic (orderBy id limit) and Lloyd
+    iterations run in numpy.
+    """
+    sample = np.array(
+        [list(map(float, r[0])) for r in
+         embs.select(vec_col).orderBy(F.hash(vec_col)).limit(4096).collect()],
+        dtype=np.float64)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def with_ivf_cell(embs: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """+cell column: nearest-centroid assignment, vectorized per Arrow batch.
+
+    At 10^12 rows ``cell`` becomes the table's partition column —
+    queries prune to n_probe cells instead of scanning the corpus.
+    """
+    cents = centroids.astype(np.float64)
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            v = np.array([list(map(float, x)) for x in pdf[vec_col]], dtype=np.float64)
+            d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.copy()
+            out["cell"] = d.argmin(axis=1).astype(np.int32)
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embs.schema.fields)
+    return embs.mapInPandas(kernel, schema + ", cell int")
+
+
+def ivf_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: assign to cells, probe the n_probe nearest cells to the
+    query, brute-force cosine within the probed candidates."""
+    cents = ivf_centroids(embs, n_centroids, seed, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
+    cells = [int(c) for c in order]
+    cands = with_ivf_cell(embs, cents, vec_col).filter(F.col("cell").isin(cells))
+    return brute_cosine_topk(cands.drop("cell"), query_vec, k, vec_col, id_col)
+
+
 def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
                     n_planes: int = 8, seed: int = 42, multiprobe: int = 1,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -18,6 +18,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # One Python worker per task slot already saturates the cores — nested
+    # OpenMP/BLAS threading inside numpy/pyarrow oversubscribes N_workers ×
+    # N_threads and collapses throughput (measured 5× slowdown at 32
+    # workers). Pin math libs to one thread per worker; local-mode workers
+    # fork from this process so the env propagates, and executorEnv covers
+    # cluster mode.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
     # In local[N] mode shuffle partitions default to N (match cores);
     # on a real cluster the caller passes executor-count-aware values.
@@ -39,6 +48,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -48,6 +48,17 @@ def test_lsh_recall_at_10(spark, embs):
     assert 7 in ann  # the query vector itself is always in its own bucket
 
 
+def test_ivf_recall(spark, embs):
+    from dlkp_spark.pipeline.similarity import ivf_cosine_topk
+    df, vecs = embs
+    q = [float(x) for x in vecs[11]]
+    exact = {r["vec_id"] for r in brute_cosine_topk(df, q, k=10).collect()}
+    ivf = {r["vec_id"] for r in
+           ivf_cosine_topk(df, q, k=10, n_centroids=8, n_probe=4).collect()}
+    assert len(exact & ivf) / 10 >= 0.5
+    assert 11 in ivf  # the query's own cell is always probed
+
+
 def test_lsh_fewer_planes_higher_recall(spark, embs):
     df, vecs = embs
     q = [float(x) for x in vecs[3]]
