@@ -83,6 +83,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = time.perf_counter() - t0
+        # drop leaked caches between queries so one query's working set
+        # doesn't tax the next (session-lifetime degradation is real on
+        # this host — see BASELINE.md)
+        spark.catalog.clearCache()
 
     total = sum(timings.values())
     out = {

@@ -64,7 +64,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3, n: int = 3,
     """
     sh = (with_shingles(docs, text_col, n)
           .select(F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"),
-                  F.explode("shingles").alias("shingle")))
+                  F.explode("shingles").alias("shingle"))).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -114,7 +114,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
     cap: tune max_bucket up for recall, down for worst-case cost.
     """
     r = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col)
+    # the signature and shingle subplans are each referenced by several
+    # downstream branches (band sizes, both join sides, verify) — without
+    # a persist Spark recomputes the full explode+64-agg pipeline per
+    # branch (measured ~10× slowdown)
+    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist()
     band_rows = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -134,7 +138,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
              .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
              .distinct())
     sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("id"), F.col("shingles"))
+        F.col(id_col).alias("id"), F.col("shingles")).persist()
     verified = (cands
                 .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sa")), "a")
                 .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sb")), "b")
@@ -187,7 +191,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     Same bucket-size skew guard as minhash_lsh_pairs (similar head-token
     distributions give correlated sign bits).
     """
-    sig = simhash_signatures(docs, text_col, id_col)
+    sig = simhash_signatures(docs, text_col, id_col).persist()
     keys = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

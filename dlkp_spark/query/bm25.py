@@ -41,14 +41,14 @@ def exact_topk(
     tokens = token_table(docs)
     # broadcast the query terms FIRST: the full-table (tokens ⋈ df) join
     # would shuffle every token row; joining the tiny query side up front
-    # prunes to query-term rows before any wide shuffle, and df for those
-    # terms is exactly computable from the pruned rows (one row per
-    # (doc, field, term)). Cached because it feeds both df and scoring.
+    # prunes to query-term rows before any wide shuffle. df for those terms
+    # comes from a count window over the same partitioning — one shuffle,
+    # one pass, no cache to leak.
     q = queries.select("query_id", "term").distinct()
     q_terms = q.select("term").distinct()
-    term_rows = tokens.join(F.broadcast(q_terms), "term").persist()
-    dfs = term_rows.groupBy("field", "term").agg(F.count(F.lit(1)).alias("df"))
-    hits = (term_rows.join(F.broadcast(dfs), ["field", "term"])
+    term_rows = tokens.join(F.broadcast(q_terms), "term")
+    w_df = Window.partitionBy("field", "term")
+    hits = (term_rows.withColumn("df", F.count(F.lit(1)).over(w_df))
             .join(F.broadcast(q), "term"))
 
     avgdl = F.when(F.col("field") == FIELD_KP, F.lit(stats["avgdl"][FIELD_KP])) \
