@@ -123,13 +123,17 @@ def stats_from_tokens(tokens: DataFrame, n_docs: int) -> dict:
     """
     rows = (tokens.select("doc_id", "field", "dl").distinct()
             .groupBy("field").agg(F.sum("dl").alias("s")).collect())
-    sums = {r["field"]: r["s"] for r in rows}
+    sums = {r["field"]: int(r["s"]) for r in rows}
     return {
         "n_docs": n_docs,
         "avgdl": {
             FIELD_BODY: sums.get(FIELD_BODY, 0) / n_docs,
             FIELD_KP: sums.get(FIELD_KP, 0) / n_docs,
         },
+        # exact integer doclen sums — lets sub-index stats combine exactly
+        # (stream reconcile / merge recompute global avgdl = Σsums / Σn)
+        "dl_sums": {FIELD_BODY: sums.get(FIELD_BODY, 0),
+                    FIELD_KP: sums.get(FIELD_KP, 0)},
     }
 
 
@@ -250,6 +254,7 @@ def build_index(
     mf.write_global(index_dir, "stats.json", {
         "n_docs": stats["n_docs"],
         "avgdl": {str(k): v for k, v in stats["avgdl"].items()},
+        "dl_sums": {str(k): v for k, v in stats["dl_sums"].items()},
         "config_hash": ch,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
@@ -301,4 +306,6 @@ def load_stats(index_dir: str) -> dict:
     s = mf.read_global(index_dir, "stats.json")
     assert s is not None, f"no stats.json in {index_dir}"
     s["avgdl"] = {int(k): v for k, v in s["avgdl"].items()}
+    if "dl_sums" in s:
+        s["dl_sums"] = {int(k): v for k, v in s["dl_sums"].items()}
     return s

@@ -35,22 +35,89 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     """Compact: segment' = segment // factor. Returns merge metrics."""
     cfg = cfg or IndexConfig()
     stats = load_stats(index_dir)
-    avgdl = stats["avgdl"]
-    n_docs = stats["n_docs"]
-
     postings = (load_postings(spark, index_dir)
                 .withColumn("new_segment", (F.col("segment") / factor).cast("long")))
+    return _merge_write(spark, postings, stats, out_dir, cfg,
+                        lineage={"merged_from": index_dir, "factor": factor},
+                        segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor)
+
+
+def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
+                     cfg: IndexConfig | None = None) -> dict:
+    """Fold streamed batch sub-indexes into one globally-consistent index.
+
+    Streamed batches (streaming/ingest.py) carry batch-local stats, so
+    their df/idf/block-max metadata is only locally admissible. This pass:
+
+    1. combines exact global stats from every sub-index's integer dl_sums
+       and n_docs (Σ/Σ — bit-exact, no float accumulation ambiguity);
+    2. recomputes global df per (term, field) = Σ per-segment n_postings
+       (doc ranges are disjoint across batches by construction);
+    3. re-encodes every posting list with global idf/avgdl block-max
+       metadata, merging same-(term, field, segment) sub-lists.
+
+    After reconcile, queries over the output are exact global BM25 —
+    identical scoring to a from-scratch batch build over the union corpus.
+    """
+    import glob as _glob
+
+    cfg = cfg or IndexConfig()
+    sub_dirs = sorted(_glob.glob(os.path.join(index_dir, "stream", "batch=*")))
+    base = os.path.join(index_dir, "segments")
+    all_stats = [load_stats(d) for d in sub_dirs]
+    if os.path.isdir(base):
+        all_stats.append(load_stats(index_dir))
+    n_docs = sum(s["n_docs"] for s in all_stats)
+    dl_sums = {f: sum(s["dl_sums"][f] for s in all_stats) for f in (0, 1)}
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": {f: dl_sums[f] / n_docs for f in (0, 1)},
+        "dl_sums": dl_sums,
+        "segment_docs": all_stats[0].get("segment_docs", cfg.segment_docs),
+        "block_size": cfg.block_size,
+        "config_hash": mf.config_hash((cfg, "v1")),
+    }
+    paths = [os.path.join(d, "segments") for d in sub_dirs]
+    if os.path.isdir(base):
+        paths.insert(0, base)
+    # one read per sub-index, unioned: a single multi-path read trips
+    # Spark's partition discovery on the differing batch= parent dirs
+    parts = [spark.read.parquet(p).drop("shard") for p in paths]
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+    postings = postings.withColumn("new_segment", F.col("segment"))
+    # global df: per-segment posting counts sum to the global doc frequency
+    gdf = (postings.groupBy("term", "field")
+           .agg(F.sum("n_postings").alias("gdf")))
+    postings = (postings.drop("df")
+                .join(gdf, ["term", "field"])
+                .withColumnRenamed("gdf", "df"))
+    return _merge_write(spark, postings, stats, out_dir, cfg,
+                        lineage={"reconciled_from": index_dir,
+                                 "n_sub_indexes": len(all_stats)},
+                        segment_docs=stats["segment_docs"])
+
+
+def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
+                 cfg: IndexConfig, lineage: dict, segment_docs: int) -> dict:
+    avgdl = stats["avgdl"]
+    n_docs = stats["n_docs"]
 
     key = ["term", "field", "new_segment"]
 
     def merge_group(g: pd.DataFrame) -> dict:
-        g = g.sort_values("segment")
-        docs_parts, tfs_parts, dls_parts = [], [], []
+        parts = []
         for r in g.itertuples(index=False):
             d, t, dl = decode_postings(r.docs_vb, r.tfs_vb, r.dls_vb)
-            docs_parts.append(d)
-            tfs_parts.append(t)
-            dls_parts.append(dl)
+            parts.append((d, t, dl))
+        # sub-lists cover disjoint doc ranges but may share a segment id
+        # (e.g. streamed batches meeting at a segment boundary) — order by
+        # each part's first doc id so the concatenation stays sorted
+        parts.sort(key=lambda p: int(p[0][0]))
+        docs_parts = [p[0] for p in parts]
+        tfs_parts = [p[1] for p in parts]
+        dls_parts = [p[2] for p in parts]
         field = int(g["field"].iloc[0])
         enc = encode_postings(
             np.concatenate(docs_parts), np.concatenate(tfs_parts),
@@ -96,13 +163,15 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     new_stats = dict(stats)
-    new_stats["segment_docs"] = stats.get("segment_docs", cfg.segment_docs) * factor
+    new_stats["segment_docs"] = segment_docs
     new_stats["avgdl"] = {str(k): v for k, v in avgdl.items()}
+    if "dl_sums" in new_stats:
+        new_stats["dl_sums"] = {str(k): v for k, v in new_stats["dl_sums"].items()}
     mf.write_global(out_dir, "stats.json", new_stats)
     mf.write_shard_manifest(out_dir, 0, {
         "shard": 0, "status": "committed",
         "config_hash": new_stats.get("config_hash", ""),
         "posting_rows": n_rows,
-        "lineage": {"merged_from": index_dir, "factor": factor},
+        "lineage": lineage,
     })
-    return {"posting_rows": n_rows, "factor": factor}
+    return {"posting_rows": n_rows, "lineage": lineage}

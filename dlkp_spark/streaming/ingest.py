@@ -69,21 +69,34 @@ def load_stream_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     if os.path.isdir(base):
         paths.insert(0, base)
     assert paths, f"no segments under {index_dir}"
-    return spark.read.parquet(*paths)
+    # per-path reads + union (a multi-path read trips partition discovery
+    # on the differing batch= parent directories)
+    parts = [spark.read.parquet(p).drop("shard") for p in paths]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def incremental_index_stream(spark: SparkSession, input_dir: str, index_dir: str,
                              cfg: IndexConfig | None = None,
-                             checkpoint_dir: str | None = None):
+                             checkpoint_dir: str | None = None,
+                             max_files_per_trigger: int | None = None):
     """readStream on a file source → foreachBatch index append.
 
     Returns the StreamingQuery; caller drives it (``processAllAvailable``
     in tests, ``awaitTermination`` in production).
+    ``max_files_per_trigger`` bounds micro-batch size (and, with
+    availableNow, forces a backlog to ingest as several batches — the
+    multi-sub-index path that reconcile_stream folds).
     """
     cfg = cfg or IndexConfig()
     schema = ("url string, warc_ts timestamp, html binary, "
               "text string, lang string")
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_batch(spark, batch_df, index_dir, cfg, int(batch_id))

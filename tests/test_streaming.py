@@ -51,6 +51,32 @@ def test_streamed_postings_content_matches_oracle(spark, stream_dirs):
     assert {t: sorted(v) for t, v in got.items()} == want
 
 
+def test_reconcile_gives_exact_global_bm25(spark, stream_dirs, tmp_path_factory):
+    """After reconcile_stream, scores over the streamed index are bit-equal
+    to the oracle over the union corpus (compared as per-query score
+    multisets — streamed doc ids are allocation-order, not url-rank)."""
+    from dlkp_spark.config import BM25Params
+    from dlkp_spark.index.merge import reconcile_stream
+    from dlkp_spark.oracle import bm25_topk
+    from dlkp_spark.query.wand import batch_topk
+
+    _, index_dir, pages = stream_dirs
+    out = str(tmp_path_factory.mktemp("reconciled"))
+    reconcile_stream(spark, index_dir, out, CFG)
+
+    rows = pages.select("text").collect()
+    oracle_idx = build_oracle_index([(i, r["text"]) for i, r in enumerate(rows)])
+    queries = [(0, ["w0003", "w0001"]), (1, ["w0100"]), (2, ["w0000", "w042"])]
+    got_rows = batch_topk(spark, out, queries, BM25Params(), k=10).collect()
+    by_q = {}
+    for r in got_rows:
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    for qid, terms in queries:
+        want = sorted((s for _, _, s in bm25_topk(oracle_idx, terms, k=10)), reverse=True)
+        got = sorted(by_q.get(qid, []), reverse=True)
+        assert got == want, (qid, terms, got[:3], want[:3])
+
+
 def test_restart_is_idempotent(spark, stream_dirs):
     input_dir, index_dir, _ = stream_dirs
     before = mf.read_global(index_dir, "ingest.json")
