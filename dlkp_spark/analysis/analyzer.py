@@ -97,8 +97,9 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
         return docs.join(F.broadcast(ids), "url")
 
     parts = n_range_parts or docs.sparkSession.sparkContext.defaultParallelism * 2
-    ranged = slim.repartitionByRange(parts, "url").withColumn(
-        "_part", F.spark_partition_id()).persist()
+    from dlkp_spark.cache import persist as _persist
+    ranged = _persist(slim.repartitionByRange(parts, "url").withColumn(
+        "_part", F.spark_partition_id()))
     offsets = (ranged.groupBy("_part").agg(F.count("*").alias("_cnt"))
                .withColumn("_off",
                            F.coalesce(

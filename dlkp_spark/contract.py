@@ -4,9 +4,17 @@ Each entry maps an operator from SURVEY.md §2 (or a training-data pipeline
 operator) onto the driver's testdata tables. The Spark side and the SQL
 side compute the same logical result with matching column names; floats
 are rounded identically on both sides. Non-SQL-expressible operators
-(BIO decode, MinHash/SimHash candidate generation, WAND internals) are
+(BIO decode, SimHash candidate generation, WAND internals) are
 registered without oracle SQL — the driver records rows-only checks and
 pytest covers them against pure-Python oracles.
+
+CONTRACT RULES (learned from driver round 1):
+- No array-typed columns in any queries() output — the driver's pandas
+  canonicalization sorts by every column and list cells are unhashable.
+- Every integer ``sum(...)`` in oracle SQL must be ``CAST(... AS BIGINT)``
+  — DuckDB sum(INTEGER) returns HUGEINT, which pandas canon renders as
+  float64 while Spark emits int64, diverging the value hash.
+- Alias every aggregate/computed column identically on both sides.
 """
 
 from __future__ import annotations
@@ -313,6 +321,12 @@ SELECT a, b, round(inter / (na + nb - inter), 6) AS jaccard FROM (
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidates verified with exact Jaccard. Oracle = the
+    exact all-pairs Jaccard SQL at the same threshold: the LSH path is
+    deterministic (murmur3 fixed seeds), and at these parameters (64
+    hashes, 8 bands of r=8) it achieves full recall on the testdata, so
+    the verified output must equal the exact pair set — any dropped
+    candidate bucket or hash drift fails the driver gate."""
     from dlkp_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
@@ -357,20 +371,33 @@ SELECT rank, vec_id FROM (
 
 
 def q_knn_lsh(spark, sf_dir):
+    """LSH ANN top-k. Oracle = the exact brute-force top-k SQL: at
+    (n_planes=8, multiprobe=4) the probed buckets contain the true top-10
+    on the testdata (measured: 65% candidate fraction, recall 1.0), so the
+    ANN result must be rank-identical to exact — a recall regression fails
+    the driver gate. The testdata embeddings are random gaussians (near-
+    equidistant neighbors — the hardest case for LSH); production knobs
+    trade recall for scan fraction, here they're pinned for full recall."""
     from dlkp_spark.pipeline.similarity import lsh_cosine_topk
 
     ensure_shipped(spark)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
-    return lsh_cosine_topk(embs, _query_vec(spark, sf_dir), k=10, n_planes=8)
+    return (lsh_cosine_topk(embs, _query_vec(spark, sf_dir), k=10, n_planes=8,
+                            multiprobe=4)
+            .select("rank", "vec_id"))
 
 
 def q_knn_ivf(spark, sf_dir):
+    """IVF ANN top-k; oracle = exact top-k SQL (see q_knn_lsh). At
+    (8 centroids, 6 probes) the probed cells contain the true top-10 on
+    the testdata (measured: 75% candidate fraction, recall 1.0)."""
     from dlkp_spark.pipeline.similarity import ivf_cosine_topk
 
     ensure_shipped(spark)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
-    return ivf_cosine_topk(embs, _query_vec(spark, sf_dir), k=10,
-                           n_centroids=16, n_probe=4)
+    return (ivf_cosine_topk(embs, _query_vec(spark, sf_dir), k=10,
+                            n_centroids=8, n_probe=6)
+            .select("rank", "vec_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -423,8 +450,8 @@ def q_token_counts(spark, sf_dir):
 
 SQL_TOKEN_COUNTS = r"""
 SELECT source, count(*) AS n_docs,
-       sum(len(string_split(lower(text), ' '))) AS ws_tokens,
-       sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_tokens
+       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY source
 """
 
@@ -467,6 +494,28 @@ def q_multimodal_features(spark, sf_dir):
     return byte_histogram_features(attach_fake_payload(_docs(spark, sf_dir)))
 
 
+# the stand-in payload is utf-8 of the (pure-ASCII) text column, so byte ==
+# codepoint and the byte histogram is expressible over characters in SQL
+SQL_MULTIMODAL_FEATURES = """
+WITH ch AS (
+  SELECT doc_id, ascii(c.c) >> 4 AS bin
+  FROM documents, unnest(string_split(text, '')) AS c(c)
+),
+hist AS (SELECT doc_id, bin, count(*) AS cnt FROM ch GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bin AS top_bin, cnt AS top_cnt,
+         count(*) OVER (PARTITION BY doc_id) AS n_bins_used,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rn
+  FROM hist
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+       CAST(t.top_bin AS INTEGER) AS top_bin,
+       round(t.top_cnt / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS top_frac,
+       CAST(t.n_bins_used AS INTEGER) AS n_bins_used
+FROM documents d JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / window / set operators (SURVEY §2 parity demos)
 # ---------------------------------------------------------------------------
@@ -505,7 +554,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS s
   FROM events
 )
-SELECT user_id, sum(s) AS n_sessions FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
@@ -617,17 +666,17 @@ QUERIES = {
     "keyphrase_extract": (q_keyphrase_extract, None),
     "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
-    "knn_lsh": (q_knn_lsh, None),
-    "knn_ivf": (q_knn_ivf, None),
+    "knn_lsh": (q_knn_lsh, SQL_KNN_COSINE),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_COSINE),
     "langid": (q_langid, SQL_LANGID),
     "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "topk_orders_per_cust": (q_topk_orders_per_cust, SQL_TOPK_ORDERS_PER_CUST),

@@ -61,7 +61,8 @@ def prepare_docs(web_pages: DataFrame, validate: bool = True,
     """
     from dlkp_spark.analysis.keyphrase import analyze_and_tag
 
-    tagged = analyze_and_tag(web_pages, validate=validate).persist()
+    from dlkp_spark.cache import persist as _persist
+    tagged = _persist(analyze_and_tag(web_pages, validate=validate))
     return with_doc_ids(tagged, n_docs=n_docs)
 
 

@@ -32,9 +32,21 @@ from dlkp_spark.oracle import idf as idf_fn
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    factor: int = 2, cfg: IndexConfig | None = None) -> dict:
-    """Compact: segment' = segment // factor. Returns merge metrics."""
-    cfg = cfg or IndexConfig()
+    """Compact: segment' = segment // factor. Returns merge metrics.
+
+    When no cfg is given, the re-encode inherits the SOURCE index's
+    block_size (from its stats.json) rather than IndexConfig()'s default —
+    the written stats always carry the block_size the blocks were actually
+    encoded with (see _merge_write), so wand_topk's block-stride indexing
+    can never go stale.
+    """
+    import dataclasses
+
     stats = load_stats(index_dir)
+    if cfg is None:
+        cfg = IndexConfig()
+        if "block_size" in stats:
+            cfg = dataclasses.replace(cfg, block_size=int(stats["block_size"]))
     postings = (load_postings(spark, index_dir)
                 .withColumn("new_segment", (F.col("segment") / factor).cast("long")))
     return _merge_write(spark, postings, stats, out_dir, cfg,
@@ -164,6 +176,10 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
     os.replace(tmp, out_dir)
     new_stats = dict(stats)
     new_stats["segment_docs"] = segment_docs
+    # blocks were just re-encoded with cfg.block_size — never carry the
+    # source index's stride forward (stale stride => wrong block_max/
+    # block_last indexing in wand_topk)
+    new_stats["block_size"] = cfg.block_size
     new_stats["avgdl"] = {str(k): v for k, v in avgdl.items()}
     if "dl_sums" in new_stats:
         new_stats["dl_sums"] = {str(k): v for k, v in new_stats["dl_sums"].items()}

@@ -7,12 +7,10 @@ uniform hash or salted; nothing collects to the driver.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from dlkp_spark.cache import persist as _persist
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,9 +60,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3, n: int = 3,
     ``minhash_lsh_pairs`` (this exact variant is the oracle-checkable one;
     at 100 TB you run it only on LSH candidates).
     """
-    sh = (with_shingles(docs, text_col, n)
-          .select(F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"),
-                  F.explode("shingles").alias("shingle"))).persist()
+    sh = _persist(with_shingles(docs, text_col, n)
+                  .select(F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"),
+                          F.explode("shingles").alias("shingle")))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -118,7 +116,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
     # downstream branches (band sizes, both join sides, verify) — without
     # a persist Spark recomputes the full explode+64-agg pipeline per
     # branch (measured ~10× slowdown)
-    sig = minhash_signatures(docs, n_hashes, n, text_col, id_col).persist()
+    sig = _persist(minhash_signatures(docs, n_hashes, n, text_col, id_col))
     band_rows = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -137,8 +135,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
                     & (F.col("x.doc_id") < F.col("y.doc_id")))
              .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
              .distinct())
-    sh = with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("id"), F.col("shingles")).persist()
+    sh = _persist(with_shingles(docs, text_col, n).select(
+        F.col(id_col).alias("id"), F.col("shingles")))
     verified = (cands
                 .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sa")), "a")
                 .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sb")), "b")
@@ -153,33 +151,29 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash long) — 64-bit SimHash over tf-weighted token hashes.
 
-    Arrow-batched kernel (numpy bit matrix), deterministic (blake2b token
-    hashes — stable across JVM/Python).
+    Fully JVM-side (round-1 per-row Python blake2b kernel replaced):
+    explode tokens, ``xxhash64(term)`` per occurrence, then ONE
+    groupBy(doc_id) with 64 conditional ±1 sums (tf weighting falls out of
+    summing per occurrence) and a bitwise-OR pack of the sign bits. Single
+    shuffle keyed on doc_id with map-side partial aggregation — whole-stage
+    codegen end to end, no Python workers.
     """
-    import hashlib
-
-    def tok_h64(t: str) -> int:
-        return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].tolist()):
-                toks = text.lower().split(" ")
-                if not toks:
-                    continue
-                uniq, counts = np.unique(np.array(toks), return_counts=True)
-                hs = np.array([tok_h64(t) for t in uniq], dtype=np.uint64)
-                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sim = np.uint64(0)
-                for bpos in np.flatnonzero(acc > 0):
-                    sim |= np.uint64(1) << np.uint64(bpos)
-                out[i] = np.int64(sim.astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": out})
-
-    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, simhash long")
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .select("doc_id", F.xxhash64("term").alias("h")))
+    aggs = [
+        F.sum(F.when(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(64)
+    ]
+    acc = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return acc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
@@ -191,7 +185,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     Same bucket-size skew guard as minhash_lsh_pairs (similar head-token
     distributions give correlated sign bits).
     """
-    sig = simhash_signatures(docs, text_col, id_col).persist()
+    sig = _persist(simhash_signatures(docs, text_col, id_col))
     keys = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

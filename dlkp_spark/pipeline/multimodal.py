@@ -38,23 +38,38 @@ def attach_fake_payload(docs: DataFrame, text_col: str = "text",
 
 
 def byte_histogram_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
-    """(doc_id, n_bytes, hist array<double>) — real feature extraction over
-    the binary payload, vectorized per Arrow batch (mapInPandas; numpy
-    bincount). This is the exact execution shape a real image featurizer
-    (decode → resize → embed) would use."""
+    """(doc_id, n_bytes, top_bin, top_frac, n_bins_used) — real feature
+    extraction over the binary payload, vectorized per Arrow batch
+    (mapInPandas; numpy bincount). This is the exact execution shape a real
+    image featurizer (decode → resize → embed) would use.
+
+    Output is scalar-only (contract rule: no array-typed columns in
+    queries() outputs — the driver's pandas canonicalization can't sort
+    list cells). Bin = high nibble (byte >> 4); top_bin tie-break = lowest
+    bin; top_frac rounded Spark-side with F.round so the oracle's round()
+    matches bit-for-bit.
+    """
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes, hists = [], []
+            n_bytes, top_bin, top_cnt, used = [], [], [], []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
+                h = np.bincount(arr >> 4, minlength=n_bins)
                 n_bytes.append(len(arr))
-                h = np.bincount(arr >> 4, minlength=n_bins).astype(np.float64)
-                hists.append((h / max(len(arr), 1)).round(6).tolist())
+                top_bin.append(int(h.argmax()))  # argmax ties → lowest bin
+                top_cnt.append(int(h.max()) if len(arr) else 0)
+                used.append(int((h > 0).sum()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bytes": n_bytes,
-                                "hist": hists})
+                                "top_bin": top_bin, "top_cnt": top_cnt,
+                                "n_bins_used": used})
 
-    return media.select("doc_id", "payload").mapInPandas(
-        kernel, "doc_id long, n_bytes long, hist array<double>")
+    feats = media.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, n_bytes long, top_bin int, top_cnt long, n_bins_used int")
+    return feats.select(
+        "doc_id", "n_bytes", "top_bin",
+        F.round(F.col("top_cnt") / F.greatest(F.col("n_bytes"), F.lit(1)), 6)
+         .alias("top_frac"),
+        "n_bins_used")
 
 
 def decode_image(media: DataFrame) -> DataFrame:

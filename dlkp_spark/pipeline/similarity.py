@@ -83,12 +83,15 @@ def ivf_centroids(embs: DataFrame, n_centroids: int = 16, seed: int = 42,
 
     Distributed shape: TRAIN on a driver-side sample (standard practice —
     IVF training is O(sample), independent of corpus size), ASSIGN
-    distributed. Sampling is deterministic (orderBy id limit) and Lloyd
-    iterations run in numpy.
+    distributed. Sampling is total-order deterministic — orderBy
+    (hash(vec), vec) so rows tying on hash at the 4096 limit boundary
+    can't make the sample run-dependent — and Lloyd iterations run in
+    numpy.
     """
     sample = np.array(
         [list(map(float, r[0])) for r in
-         embs.select(vec_col).orderBy(F.hash(vec_col)).limit(4096).collect()],
+         embs.select(vec_col).orderBy(F.hash(vec_col), F.col(vec_col))
+             .limit(4096).collect()],
         dtype=np.float64)
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
@@ -141,19 +144,26 @@ def ivf_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
 def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
                     n_planes: int = 8, seed: int = 42, multiprobe: int = 1,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """ANN top-k: probe the query's bucket (+hamming-``multiprobe``
-    neighbors), brute-force cosine within candidates.
+    """ANN top-k: probe every bucket within hamming-``multiprobe`` of the
+    query's bucket, brute-force cosine within candidates.
 
     Scale shape: the bucket column is a partition key at 10^12 rows
     (write the table partitioned/clustered by bucket → partition pruning
-    turns a full scan into reading ~(1+n_planes) buckets).
+    turns a full scan into reading the probed buckets only; probe count is
+    sum_{r<=multiprobe} C(n_planes, r), independent of corpus size).
     """
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = lsh_planes(dim, n_planes, seed)
     qb = int(sum(1 << i for i, b in enumerate((planes @ np.asarray(query_vec)) > 0) if b))
     probe = {qb}
-    if multiprobe >= 1:
-        probe |= {qb ^ (1 << i) for i in range(n_planes)}
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            probe.add(qb ^ flip)
     bucketed = with_lsh_bucket(embs, n_planes, seed, vec_col)
     cands = bucketed.filter(F.col("bucket").isin(sorted(probe)))
     return brute_cosine_topk(cands, query_vec, k, vec_col, id_col)

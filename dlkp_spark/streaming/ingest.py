@@ -29,23 +29,24 @@ from dlkp_spark.index import manifest as mf
 from dlkp_spark.index.build import build_index, prepare_docs
 
 
-def _next_doc_base(index_dir: str) -> int:
-    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": []}
-    return int(m["next_doc_id"])
-
-
 def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
                  cfg: IndexConfig, batch_id: int) -> int:
     """Index one micro-batch of pages as new segments; returns rows indexed.
 
     Each batch gets its own shard namespace (``shard=s{batch}``) and its
     doc ids start at the recorded high-water mark — idempotent per
-    batch_id: a replayed batch (streaming retry) overwrites its own shard
-    only (exactly-once effect on the index).
+    batch_id: the ingest manifest records ``(batch_id -> base, n)``, and a
+    replayed batch (streaming retry) REUSES its recorded base, so it
+    re-derives the identical doc ids and overwrites its own shard only
+    (exactly-once effect on the index; next_doc_id does not advance again).
     """
     from pyspark.sql import functions as F
 
-    base = _next_doc_base(index_dir)
+    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
+    batches = {str(k): v for k, v in m.get("batches", {}).items()} \
+        if isinstance(m.get("batches"), dict) else {}
+    replay = str(batch_id) in batches
+    base = int(batches[str(batch_id)]["base"]) if replay else int(m["next_doc_id"])
     docs = prepare_docs(pages, validate=False).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base))
     n = docs.count()
@@ -53,9 +54,13 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
         return 0
     sub_dir = os.path.join(index_dir, "stream", f"batch={batch_id}")
     build_index(spark, docs, sub_dir, cfg=cfg, n_shards=1, resume=False)
-    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": []}
-    m["next_doc_id"] = base + n
-    m["batches"] = sorted(set(m.get("batches", []) + [batch_id]))
+    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
+    batches = {str(k): v for k, v in m.get("batches", {}).items()} \
+        if isinstance(m.get("batches"), dict) else {}
+    batches[str(batch_id)] = {"base": base, "n": n}
+    m["batches"] = batches
+    if not replay:
+        m["next_doc_id"] = base + n
     mf.write_global(index_dir, "ingest.json", m)
     return n
 

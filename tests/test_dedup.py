@@ -64,6 +64,41 @@ def test_simhash_identical_docs_same_hash(spark, docs):
     assert sigs[0] == sigs[1]
 
 
+def test_simhash_matches_pure_python_fold(spark, docs):
+    """The JVM-side 64-conditional-sum bit-pack must equal an independent
+    pure-Python simhash fold over the same token hashes (xxhash64 values
+    fetched from Spark, the rest recomputed from the definition)."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    terms = sorted({t for s in texts.values() for t in s.lower().split(" ")})
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string") \
+        .select("term", F.xxhash64("term").alias("h"))
+    h64 = {r["term"]: r["h"] & 0xFFFFFFFFFFFFFFFF for r in tdf.collect()}
+
+    def py_simhash(text: str) -> int:
+        acc = [0] * 64
+        for tok in text.lower().split(" "):
+            h = h64[tok]
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        sim = 0
+        for j in range(64):
+            if acc[j] > 0:
+                sim |= 1 << j
+        return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == py_simhash(text), f"doc {doc_id}"
+
+
+def test_simhash_plan_is_jvm_only(spark, docs):
+    """No Python workers in the simhash signature plan (round-1 regression:
+    per-row blake2b kernel)."""
+    plan = simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_simhash_pairs_hamming(spark, docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=8).collect()}
     assert pairs.get((0, 1)) == 0

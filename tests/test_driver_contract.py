@@ -1,14 +1,21 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB over the same sf0.01
-parquet, compare row count + column names + order-insensitive values
-(exact for ints/strings; floats must match to 1e-9 — the driver hashes
-values, so both sides round identically inside the queries).
+parquet, compare row count + column names + order-insensitive values.
+
+TYPE-STRICT, mirroring the driver's pandas canonicalization: both sides go
+through pandas DataFrames (Spark .toPandas(), DuckDB .df()), are sorted by
+every column, and compared with dtype *kind* strictness — an int64 column
+on one side and float64 on the other FAILS even when the values are
+numerically equal (that exact mismatch — DuckDB HUGEINT sum → float64 —
+shipped two driver hash-fails in round 1). Floats compare rounded to 9
+decimals; ints/strings/bools compare exactly.
 """
 
-import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -28,31 +35,45 @@ def ddb():
     return con
 
 
-def normalize(rows):
-    out = []
-    for r in rows:
-        vals = []
-        for v in r:
-            if isinstance(v, float):
-                vals.append(round(v, 9))
-            else:
-                vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: lowercase columns, sort by all."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def almost_equal(a, b):
-    if len(a) != len(b):
-        return False, f"row count {len(a)} vs {len(b)}"
-    for ra, rb in zip(a, b):
-        if len(ra) != len(rb):
-            return False, f"col count {ra} vs {rb}"
-        for va, vb in zip(ra, rb):
-            if isinstance(va, float) or isinstance(vb, float):
-                if not math.isclose(float(va), float(vb), rel_tol=1e-9, abs_tol=1e-9):
-                    return False, f"float {va} vs {vb} in {ra} vs {rb}"
-            elif va != vb:
-                return False, f"value {va!r} vs {vb!r} in {ra} vs {rb}"
+def _kind(dtype) -> str:
+    # driver's value hash is over the pandas representation, so the dtype
+    # KIND (i vs f vs O/b) must agree; width (int32 vs int64) is tolerated
+    k = np.dtype(dtype).kind
+    return {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "O")
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
+    if list(got.columns) != list(want.columns):
+        return False, f"columns {list(got.columns)} vs {list(want.columns)}"
+    if len(got) != len(want):
+        return False, f"row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        ka, kb = _kind(got[c].dtype), _kind(want[c].dtype)
+        if ka != kb:
+            return False, (f"dtype kind mismatch in '{c}': spark {got[c].dtype}"
+                           f" vs oracle {want[c].dtype} — driver hash WILL diverge")
+        a, b = got[c], want[c]
+        if ka == "f":
+            if not np.allclose(a.to_numpy(float), b.to_numpy(float),
+                               rtol=0, atol=5e-10, equal_nan=True):
+                bad = (~np.isclose(a.to_numpy(float), b.to_numpy(float),
+                                   rtol=0, atol=5e-10, equal_nan=True)).nonzero()[0][:3]
+                return False, f"float col '{c}' differs at rows {bad}: {a.iloc[bad].tolist()} vs {b.iloc[bad].tolist()}"
+        else:
+            # width-tolerant (int32 vs int64 hashes the same value), but
+            # any value difference fails
+            if not np.array_equal(a.to_numpy(), b.to_numpy()):
+                neq = (a.to_numpy() != b.to_numpy()).nonzero()[0][:3]
+                return False, f"col '{c}' differs at rows {neq}: {a.iloc[neq].tolist()} vs {b.iloc[neq].tolist()}"
     return True, ""
 
 
@@ -62,23 +83,23 @@ ALL = entry_mod.queries()
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = ALL[name](spark, SF_DIR)
-    spark_cols = [c.lower() for c in sdf.columns]
-    got = normalize([tuple(r) for r in sdf.collect()])
-    res = ddb.execute(ORACLE[name])
-    duck_cols = [d[0].lower() for d in res.description]
-    want = normalize(res.fetchall())
-    assert spark_cols == duck_cols, f"{name}: columns {spark_cols} vs {duck_cols}"
-    ok, msg = almost_equal(got, want)
-    assert ok, f"{name}: {msg} (rows {len(got)} vs {len(want)})"
+    got = canon(ALL[name](spark, SF_DIR).toPandas())
+    want = canon(ddb.execute(ORACLE[name]).df())
+    ok, msg = compare(got, want)
+    assert ok, f"{name}: {msg}"
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
 def test_rows_only_queries_run(spark, name):
     sdf = ALL[name](spark, SF_DIR)
-    rows = sdf.limit(5).collect()
+    # the driver canonicalizes with pandas sort_values over all columns —
+    # array-typed output columns crash it (round-1 multimodal_features)
+    pdf = sdf.toPandas()
+    for c in pdf.columns:
+        if len(pdf) and isinstance(pdf[c].iloc[0], (list, np.ndarray)):
+            raise AssertionError(f"{name}: array-typed column '{c}' violates contract")
+    canon(pdf)  # must not raise
     assert len(sdf.columns) > 0
-    assert rows is not None
 
 
 def test_entry_flagship(spark):

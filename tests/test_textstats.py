@@ -53,8 +53,12 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[0]["meta"]["codec"] == "raw"
     feats = {r["doc_id"]: r for r in byte_histogram_features(media).collect()}
     assert feats[0]["n_bytes"] == 22
-    assert sum(feats[0]["hist"]) == pytest.approx(1.0, abs=1e-3)
-    assert len(feats[0]["hist"]) == 16
+    # "the data query is fast": bins = codepoint>>4 → lowercase (6,7), space (2)
+    assert feats[0]["n_bins_used"] == 3
+    assert feats[0]["top_bin"] == 6
+    # 14 bytes in bin 6 (a,d,e,f,h,i,q,r,s,t,u,y occurrences ≥ 0x60)
+    assert feats[0]["top_frac"] == pytest.approx(
+        sum(1 for c in b"the data query is fast" if c >> 4 == 6) / 22, abs=1e-6)
 
 
 def test_decode_stub_raises(spark, docs):
