@@ -137,9 +137,106 @@ def extract_kp_from_tags(
     return final_kps, (final_scores if score_method else None)
 
 
-def tag_and_extract(tokens: list[str], score_method: str = "avg") -> tuple[list[str], list[float]]:
-    """Full predict path for one document: tag → decode → dedup + scores."""
-    tags, scores = tag_tokens(tokens)
+# ---------------------------------------------------------------------------
+# CRF-style Viterbi decode (reference M10/O4).
+#
+# Mirrors the inference path of the reference CRF layer
+# (/root/reference/src/dlkp/extraction/crf.py:197-294 — ConditionalRandomField
+# .viterbi_tags) and the DP kernel it calls
+# (/root/reference/src/dlkp/extraction/crf_utils.py:187-294 viterbi_decode):
+# max-sum dynamic programming over per-token tag potentials plus a pairwise
+# transition matrix, backpointer reconstruction, first-index tie-breaking
+# (torch.max and np.argmax both return the first maximal index).
+#
+# The transformer emissions are replaced by the same deterministic stand-in
+# hash potentials as the greedy tagger; the transition matrix encodes the
+# BIO constraint the reference trains into its CRF (I only continues B/I —
+# extraction/crf.py:60-88 allowed-transition masking).
+# ---------------------------------------------------------------------------
+
+TAG_NAMES = ("O", "B", "I")
+_NEG = -10000.0  # reference uses large negative potentials for banned moves
+
+# transitions[prev, cur]: O→I banned; everything else free
+_TRANSITIONS = None
+_START = None
+
+
+def _crf_params():
+    global _TRANSITIONS, _START
+    if _TRANSITIONS is None:
+        import numpy as np
+
+        t = np.zeros((3, 3))
+        t[0, 2] = _NEG  # O → I
+        s = np.zeros(3)
+        s[2] = _NEG     # sequence cannot start with I
+        _TRANSITIONS, _START = t, s
+    return _TRANSITIONS, _START
+
+
+def token_potentials(tok: str) -> list[float]:
+    """Deterministic per-token tag potentials (stand-in for transformer
+    emission logits): three stable values in [0, 1) from disjoint bits of
+    the token hash, biased so O dominates and spans are sparse — the same
+    head-term behavior a trained tagger shows."""
+    h = _tok_hash(tok)
+    o = ((h >> 0) & 0xFFFF) / 65536.0 + 0.55
+    b = ((h >> 16) & 0xFFFF) / 65536.0
+    i = ((h >> 32) & 0xFFFF) / 65536.0 + 0.25
+    return [o, b, i]
+
+
+def viterbi_decode_np(logits, transitions, start=None) -> tuple[list[int], float]:
+    """numpy port of crf_utils.viterbi_decode (reference :187-294, the
+    unobserved/top-1 path): returns (best tag-index path, path score)."""
+    import numpy as np
+
+    logits = np.asarray(logits, dtype=np.float64)
+    n, k = logits.shape
+    score = logits[0] + (start if start is not None else 0.0)
+    ptr = np.zeros((max(n - 1, 0), k), dtype=np.int64)
+    for t in range(1, n):
+        summed = score[:, None] + transitions  # prev × cur potentials
+        ptr[t - 1] = summed.argmax(axis=0)
+        score = logits[t] + summed.max(axis=0)
+    best = int(score.argmax())
+    path = [best]
+    for t in range(n - 2, -1, -1):
+        best = int(ptr[t, best])
+        path.append(best)
+    path.reverse()
+    return path, float(score.max())
+
+
+def tag_tokens_viterbi(tokens: list[str]) -> tuple[list[str], list[float]]:
+    """Viterbi-decoded BIO tags + pseudo-softmax confidence per token."""
+    import numpy as np
+
+    if not tokens:
+        return [], []
+    logits = np.array([token_potentials(t) for t in tokens])
+    trans, start = _crf_params()
+    path, _ = viterbi_decode_np(logits, trans, start)
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    tags = [TAG_NAMES[i] for i in path]
+    scores = [float(probs[t, i]) for t, i in enumerate(path)]
+    return tags, scores
+
+
+def tag_and_extract(tokens: list[str], score_method: str = "avg",
+                    decode: str = "greedy") -> tuple[list[str], list[float]]:
+    """Full predict path for one document: tag → decode → dedup + scores.
+
+    decode='greedy' → per-token argmax with the I-continuation constraint
+    (reference non-CRF path); decode='viterbi' → CRF-style global decode
+    (reference use_crf=True path, extraction/models.py:92-99).
+    """
+    if decode == "viterbi":
+        tags, scores = tag_tokens_viterbi(tokens)
+    else:
+        tags, scores = tag_tokens(tokens)
     kps, kp_scores = extract_kp_from_tags(tokens, tags, scores, score_method)
     return kps, kp_scores or []
 
@@ -150,7 +247,7 @@ def tag_and_extract(tokens: list[str], score_method: str = "avg") -> tuple[list[
 
 
 def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
-                    score_method: str = "avg") -> DataFrame:
+                    score_method: str = "avg", decode: str = "greedy") -> DataFrame:
     """Fused analyzer + tagger: one Python pass per Arrow batch.
 
     html→text extraction, tokenization, and BIO tagging all happen inside a
@@ -174,7 +271,7 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
                     raise ValueError(
                         f"extracted text not byte-identical for urls: {bad.tolist()[:5]}")
             tokens = extracted.map(tokenize_py)
-            results = tokens.map(lambda toks: tag_and_extract(toks, score_method))
+            results = tokens.map(lambda toks: tag_and_extract(toks, score_method, decode))
             yield pd.DataFrame({
                 "url": pdf["url"], "warc_ts": pdf["warc_ts"], "text": extracted,
                 "lang": pdf["lang"], "tokens": tokens,
@@ -186,7 +283,7 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
 
 
 def with_keyphrases(docs: DataFrame, score_method: str = "avg",
-                    tokens_col: str = "tokens") -> DataFrame:
+                    tokens_col: str = "tokens", decode: str = "greedy") -> DataFrame:
     """docs(+tokens array<string>) → +keyphrases array<string>,
     +kp_scores array<float>.
 
@@ -205,7 +302,7 @@ def with_keyphrases(docs: DataFrame, score_method: str = "avg",
         # (model load would happen here, once per partition)
         for pdf in batches:
             results = pdf[tokens_col].map(
-                lambda toks: tag_and_extract(list(toks), score_method))
+                lambda toks: tag_and_extract(list(toks), score_method, decode))
             pdf = pdf[cols].copy()
             pdf["keyphrases"] = results.map(lambda r: r[0])
             pdf["kp_scores"] = results.map(lambda r: r[1])

@@ -277,6 +277,162 @@ def q_keyphrase_extract(spark, sf_dir):
             .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
 
 
+def _tag_rules():
+    """Deterministic per-token BIO tag rules (pred vs gold differ so spans
+    overlap partially) — expressible identically in Spark and ANSI SQL."""
+    def last_ascii(t):
+        return F.ascii(F.substring(t, -1, 1))
+
+    def rule(mult):
+        def tag(t):
+            m = (last_ascii(t) * mult + F.length(t)) % 5
+            return F.when(m == 0, "B").when(m == 1, "I").otherwise("O")
+        return tag
+
+    return rule(1), rule(3)  # gold, pred
+
+
+def q_tag_metrics(spark, sf_dir):
+    """seqeval tag-level micro P/R/F1 + token accuracy (SURVEY A2,
+    reference metrics/metrics.py:32-38). Tags are derived from the token
+    stream by deterministic rules both engines share; span extraction is
+    the distributed gaps-and-islands in metrics.spans_df."""
+    from dlkp_spark.metrics import tag_metrics_df
+
+    gold_rule, pred_rule = _tag_rules()
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(_toks(), gold_rule).alias("gold_tags"),
+        F.transform(_toks(), pred_rule).alias("pred_tags"))
+    return tag_metrics_df(d)
+
+
+_SQL_TAG_RULE = ("CASE WHEN (ascii(substr(tok, -1, 1)) * {m} + length(tok)) % 5 = 0 THEN 'B' "
+                 "WHEN (ascii(substr(tok, -1, 1)) * {m} + length(tok)) % 5 = 1 THEN 'I' "
+                 "ELSE 'O' END")
+
+SQL_TAG_METRICS = f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM l, unnest(range(1, len(toks) + 1)) AS r(i)),
+bt AS (
+  SELECT doc_id, pos,
+         {_SQL_TAG_RULE.format(m=1)} AS g_tag,
+         {_SQL_TAG_RULE.format(m=3)} AS p_tag
+  FROM tok
+),
+lagged AS (
+  SELECT doc_id, pos, g_tag, p_tag,
+         lag(g_tag) OVER w AS g_prev, lag(p_tag) OVER w AS p_prev
+  FROM bt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+  SELECT doc_id, pos, g_tag, p_tag,
+    sum(CASE WHEN g_tag != 'O' AND (g_tag = 'B' OR g_prev IS NULL OR g_prev = 'O')
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g_span,
+    sum(CASE WHEN p_tag != 'O' AND (p_tag = 'B' OR p_prev IS NULL OR p_prev = 'O')
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS p_span
+  FROM lagged
+),
+gs AS (
+  SELECT doc_id, g_span, min(pos) AS s, max(pos) AS e FROM flagged
+  WHERE g_tag != 'O' GROUP BY doc_id, g_span
+),
+ps AS (
+  SELECT doc_id, p_span, min(pos) AS s, max(pos) AS e FROM flagged
+  WHERE p_tag != 'O' GROUP BY doc_id, p_span
+),
+c AS (
+  SELECT (SELECT count(*) FROM ps) AS n_pred,
+         (SELECT count(*) FROM gs) AS n_gold,
+         (SELECT count(*) FROM ps JOIN gs USING (doc_id, s, e)) AS n_matched,
+         (SELECT round(avg(CASE WHEN p_tag = g_tag THEN 1.0 ELSE 0.0 END), 6) FROM bt) AS accuracy
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_gold AS BIGINT) AS n_gold,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(CASE WHEN n_pred > 0 THEN n_matched / CAST(n_pred AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN n_gold > 0 THEN n_matched / CAST(n_gold AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN n_matched > 0
+             THEN 2.0 * (n_matched / CAST(n_pred AS DOUBLE)) * (n_matched / CAST(n_gold AS DOUBLE))
+                  / (n_matched / CAST(n_pred AS DOUBLE) + n_matched / CAST(n_gold AS DOUBLE))
+             ELSE 0.0 END, 6) AS f1,
+       accuracy
+FROM c
+"""
+
+
+def q_generation_topk(spark, sf_dir):
+    """Beam-generation stand-in (reference generator.py:42-89 + [KP_SEP]
+    decode): deterministic top-3 candidate phrases per doc, KP_SEP-joined."""
+    from dlkp_spark.analysis.generation import generate_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("tokens"))
+    return generate_topk(d, KP_SEEDS, k=3)
+
+
+SQL_GENERATION_TOPK = f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS kp
+  FROM l, unnest(range(1, len(toks))) AS t(i)
+  WHERE toks[i] IN ({', '.join(f"'{s}'" for s in KP_SEEDS)})
+),
+cnt AS (SELECT doc_id, kp, count(*) AS n_occ FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, kp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_occ DESC, kp) AS rn
+  FROM cnt
+)
+SELECT doc_id, string_agg(kp, ' [KP_SEP] ' ORDER BY rn) AS generated,
+       CAST(count(*) AS INTEGER) AS n_kps
+FROM top WHERE rn <= 3 GROUP BY doc_id
+"""
+
+
+def q_source_json(spark, sf_dir):
+    """S2 source parity (reference datasets/extraction.py:62-74 extension
+    dispatch): round-trip the documents table through a JSON-lines file,
+    read it back via the extension-dispatch loader, aggregate."""
+    from dlkp_spark.corpus import load_table
+
+    ensure_shipped(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "docs.json")
+    _docs(spark, sf_dir).select("doc_id", "lang", "n_chars") \
+        .coalesce(1).write.mode("overwrite").json(out)
+    d = load_table(spark, out)
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+SQL_SOURCE_JSON = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_source_csv(spark, sf_dir):
+    """S2 csv source: scalar columns round-tripped through csv with header
+    + explicit schema, read back via the extension-dispatch loader."""
+    from dlkp_spark.corpus import load_table
+
+    ensure_shipped(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "docs.csv")
+    _docs(spark, sf_dir).select("doc_id", "source", "n_chars") \
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    d = load_table(spark, out, schema="doc_id long, source string, n_chars long")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+SQL_SOURCE_CSV = """
+SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity
 # ---------------------------------------------------------------------------
@@ -664,6 +820,10 @@ QUERIES = {
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
+    "tag_metrics": (q_tag_metrics, SQL_TAG_METRICS),
+    "generation_topk": (q_generation_topk, SQL_GENERATION_TOPK),
+    "source_json": (q_source_json, SQL_SOURCE_JSON),
+    "source_csv": (q_source_csv, SQL_SOURCE_CSV),
     "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),

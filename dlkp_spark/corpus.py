@@ -15,6 +15,7 @@ known multi-word keyphrases so the keyphrase field has guaranteed content.
 from __future__ import annotations
 
 import hashlib
+import os
 from datetime import datetime, timezone
 
 import numpy as np
@@ -101,3 +102,34 @@ def generate_web_pages(spark: SparkSession, n_docs: int, seed: int = 42,
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-provided stand-in table (doc_id, text, lang, source, n_chars)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_table(spark: SparkSession, path: str, fmt: str | None = None,
+               schema: str | None = None) -> DataFrame:
+    """Extension-dispatch loader (reference datasets/extraction.py:62-74
+    dispatches on csv/json file extensions the same way).
+
+    fmt overrides; otherwise the extension decides: .parquet / .json(l) /
+    .csv. CSV reads with header=true; pass ``schema`` for typed CSV columns
+    (inference costs an extra scan and is banned on the 100-TB path).
+    A directory written by Spark (``part-*`` files) dispatches on the
+    directory name's extension, matching how Spark writes datasets.
+    """
+    ext = (fmt or os.path.splitext(path.rstrip("/"))[1].lstrip(".")).lower()
+    if ext in ("parquet", "pq"):
+        return spark.read.parquet(path)
+    if ext in ("json", "jsonl"):
+        r = spark.read
+        if schema:
+            r = r.schema(schema)
+        return r.json(path)
+    if ext in ("csv", "tsv"):
+        r = spark.read.option("header", "true")
+        if ext == "tsv":
+            r = r.option("sep", "\t")
+        if schema:
+            r = r.schema(schema)
+        else:
+            r = r.option("inferSchema", "true")
+        return r.csv(path)
+    raise ValueError(f"unsupported source extension {ext!r} for {path}")

@@ -107,6 +107,109 @@ def kp_metrics_df(pred: DataFrame, gold: DataFrame) -> DataFrame:
     return j.groupBy().agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# Tag-level (seqeval) metrics — SURVEY A2, reference metrics/metrics.py:32-38.
+#
+# The reference calls seqeval precision/recall/f1/accuracy over BIO tag
+# sequences. seqeval's default (conlleval) chunking for plain B/I/O tags:
+# a chunk starts at every B, and at an I whose predecessor is O (or start
+# of sequence); it extends through consecutive I tags. Entities match on
+# exact (start, end) boundaries; micro P/R/F1 over all documents;
+# accuracy is token-level tag equality.
+# ---------------------------------------------------------------------------
+
+
+def tag_spans(tags: list[str]) -> list[tuple[int, int]]:
+    """seqeval/conlleval chunk extraction for B/I/O tags: [(start, end)]
+    with inclusive end."""
+    spans: list[tuple[int, int]] = []
+    start = None
+    for i, tag in enumerate(tags):
+        if tag == "O":
+            if start is not None:
+                spans.append((start, i - 1))
+                start = None
+        elif tag == "B" or start is None:  # B always starts; I-after-O starts
+            if start is not None:
+                spans.append((start, i - 1))
+            start = i
+    if start is not None:
+        spans.append((start, len(tags) - 1))
+    return spans
+
+
+def tag_level_metrics(pred: list[list[str]], gold: list[list[str]]) -> dict:
+    """Pure-Python micro P/R/F1 + token accuracy (seqeval semantics)."""
+    assert len(pred) == len(gold)
+    n_pred = n_gold = n_match = n_tok = n_tok_ok = 0
+    for p, g in zip(pred, gold):
+        assert len(p) == len(g)
+        ps, gs = set(tag_spans(p)), set(tag_spans(g))
+        n_pred += len(ps)
+        n_gold += len(gs)
+        n_match += len(ps & gs)
+        n_tok += len(p)
+        n_tok_ok += sum(1 for a, b in zip(p, g) if a == b)
+    precision = n_match / n_pred if n_pred else 0.0
+    recall = n_match / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"n_pred": n_pred, "n_gold": n_gold, "n_matched": n_match,
+            "precision": precision, "recall": recall, "f1": f1,
+            "accuracy": n_tok_ok / n_tok if n_tok else 0.0}
+
+
+def spans_df(tagged: DataFrame, tags_col: str, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, tags array<string>) → (doc_id, start, end) entity spans.
+
+    Distributed gaps-and-islands: posexplode + per-doc window (partitioned
+    by doc_id — no global window), span_id = running count of chunk starts,
+    then min/max pos per span. One shuffle keyed on doc_id.
+    """
+    from pyspark.sql import Window
+
+    t = tagged.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(tags_col).alias("pos", "tag"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tag").over(w)
+    is_start = (F.col("tag") != "O") & (
+        (F.col("tag") == "B") | prev.isNull() | (prev == "O"))
+    t = t.withColumn("span_id",
+                     F.sum(is_start.cast("int")).over(
+                         w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (t.filter(F.col("tag") != "O")
+            .groupBy("doc_id", "span_id")
+            .agg(F.min("pos").alias("start"), F.max("pos").alias("end"))
+            .select("doc_id", "start", "end"))
+
+
+def tag_metrics_df(tagged: DataFrame, pred_col: str = "pred_tags",
+                   gold_col: str = "gold_tags", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_tags, gold_tags) → one row of micro tag-level metrics:
+    (n_pred, n_gold, n_matched, precision, recall, f1, accuracy).
+
+    Plan: two span extractions (doc-keyed windows) + an equi-join on
+    (doc_id, start, end) for matches + one zipped explode for token
+    accuracy — every shuffle is keyed on doc_id or the span triple.
+    """
+    pred_spans = spans_df(tagged.select(id_col, pred_col), pred_col, id_col)
+    gold_spans = spans_df(tagged.select(id_col, gold_col), gold_col, id_col)
+    matched = pred_spans.join(gold_spans, ["doc_id", "start", "end"])
+    counts = (pred_spans.groupBy().agg(F.count(F.lit(1)).alias("n_pred"))
+              .crossJoin(gold_spans.groupBy().agg(F.count(F.lit(1)).alias("n_gold")))
+              .crossJoin(matched.groupBy().agg(F.count(F.lit(1)).alias("n_matched"))))
+    acc = (tagged.select(F.explode(F.zip_with(pred_col, gold_col,
+                                              lambda p, g: (p == g).cast("int")))
+                         .alias("ok"))
+           .groupBy().agg(F.round(F.avg("ok"), 6).alias("accuracy")))
+    p = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    return (counts.crossJoin(acc)
+            .select("n_pred", "n_gold", "n_matched",
+                    F.round(p, 6).alias("precision"), F.round(r, 6).alias("recall"),
+                    F.round(f1, 6).alias("f1"), "accuracy"))
+
+
 def rank_identity_report(got: list[tuple[int, int, float]],
                          want: list[tuple[int, int, float]]) -> dict:
     """Compare two (rank, doc_id, score) rankings: exact-rank identity and

@@ -1,0 +1,109 @@
+"""Viterbi decode (reference crf_utils.py:187-294 / crf.py:197-294 parity):
+golden hand-computed cases, brute-force enumeration equality, BIO
+constraint enforcement, and the Spark decode='viterbi' path.
+"""
+
+from itertools import product
+
+import numpy as np
+import pytest
+
+from dlkp_spark.analysis.keyphrase import (
+    _crf_params,
+    tag_tokens_viterbi,
+    token_potentials,
+    viterbi_decode_np,
+)
+
+NEG = -10000.0
+
+
+def brute_force(logits, transitions, start=None):
+    """Enumerate every tag path — the oracle the DP must match."""
+    n, k = logits.shape
+    best_path, best_score = None, -np.inf
+    for path in product(range(k), repeat=n):
+        s = logits[0][path[0]] + (start[path[0]] if start is not None else 0.0)
+        for t in range(1, n):
+            s += transitions[path[t - 1], path[t]] + logits[t][path[t]]
+        # strict > keeps the FIRST maximal path in lexicographic order,
+        # matching argmax/torch.max first-index tie-breaking
+        if s > best_score:
+            best_score, best_path = s, list(path)
+    return best_path, float(best_score)
+
+
+def test_viterbi_golden_simple():
+    # two steps, no constraints: picks per-step argmax when transitions=0
+    logits = np.array([[1.0, 2.0, 0.0], [0.0, 0.5, 3.0]])
+    path, score = viterbi_decode_np(logits, np.zeros((3, 3)))
+    assert path == [1, 2]
+    assert score == pytest.approx(5.0)
+
+
+def test_viterbi_golden_transition_flip():
+    # greedy would take tag1 at t0, but the transition penalty makes the
+    # globally-best path go through tag0
+    logits = np.array([[1.0, 1.1], [0.0, 5.0]])
+    trans = np.array([[0.0, 0.0], [0.0, NEG]])
+    path, _ = viterbi_decode_np(logits, trans)
+    assert path == [0, 1]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_viterbi_matches_brute_force(seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = int(rng.integers(1, 7))
+    logits = rng.standard_normal((n, 3))
+    trans, start = _crf_params()
+    got = viterbi_decode_np(logits, trans, start)
+    want = brute_force(logits, trans, start)
+    assert got[0] == want[0]
+    assert got[1] == pytest.approx(want[1])
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_viterbi_matches_brute_force_random_transitions(seed):
+    rng = np.random.Generator(np.random.PCG64(100 + seed))
+    n = int(rng.integers(2, 6))
+    k = int(rng.integers(2, 5))
+    logits = rng.standard_normal((n, k))
+    trans = rng.standard_normal((k, k))
+    got = viterbi_decode_np(logits, trans)
+    want = brute_force(logits, trans)
+    assert got[0] == want[0]
+    assert got[1] == pytest.approx(want[1])
+
+
+def test_viterbi_tags_respect_bio_constraints():
+    toks = [f"w{i:04d}" for i in range(400)]
+    tags, scores = tag_tokens_viterbi(toks)
+    assert len(tags) == len(scores) == 400
+    assert tags[0] != "I"
+    for prev, cur in zip(tags, tags[1:]):
+        assert not (prev == "O" and cur == "I"), "I after O banned by CRF"
+    assert all(0.0 < s <= 1.0 for s in scores)
+    # deterministic
+    assert tag_tokens_viterbi(toks) == (tags, scores)
+
+
+def test_potentials_deterministic_and_bounded():
+    p = token_potentials("spark")
+    assert p == token_potentials("spark")
+    assert len(p) == 3
+
+
+def test_with_keyphrases_viterbi_spark(spark):
+    from dlkp_spark.analysis.keyphrase import with_keyphrases
+
+    rows = [(i, [f"w{(i * 7 + j) % 50:04d}" for j in range(30)]) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = with_keyphrases(docs, decode="viterbi").collect()
+    assert len(out) == 40
+    # Spark path must equal the local single-doc path (partition-invariant)
+    from dlkp_spark.analysis.keyphrase import tag_and_extract
+
+    for r in out:
+        kps, sc = tag_and_extract(list(r["tokens"]), "avg", "viterbi")
+        assert list(r["keyphrases"]) == kps
+        assert [pytest.approx(x) for x in r["kp_scores"]] == sc
