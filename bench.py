@@ -77,7 +77,8 @@ def main() -> None:
     # design; the scale-path dedup ops benched here are minhash + simhash)
     headline = ["bm25_topk", "term_stats", "knn_cosine",
                 "events_hourly", "fingerprint", "minhash_lsh_pairs",
-                "simhash_pairs", "dedup_exact_stats", "keyphrase_extract"]
+                "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
+                "tag_metrics", "generation_topk"]
     for name in headline:
         fn, _sql = contract.QUERIES[name]
         t0 = time.perf_counter()

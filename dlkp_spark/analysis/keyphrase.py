@@ -283,7 +283,8 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
 
 
 def with_keyphrases(docs: DataFrame, score_method: str = "avg",
-                    tokens_col: str = "tokens", decode: str = "greedy") -> DataFrame:
+                    tokens_col: str = "tokens", decode: str = "greedy",
+                    sortish: bool = False) -> DataFrame:
     """docs(+tokens array<string>) → +keyphrases array<string>,
     +kp_scores array<float>.
 
@@ -292,7 +293,17 @@ def with_keyphrases(docs: DataFrame, score_method: str = "avg",
     iterator start (per partition) from a broadcast/SparkFiles artifact and
     applied per Arrow batch (reference trainer batch loop,
     extraction/trainer.py:87-131).
+
+    sortish=True (O5, the reference's sortish/length batching): sort each
+    partition by token count before batching, so a real transformer pads
+    each Arrow batch to near-uniform lengths instead of the partition max —
+    no shuffle (sortWithinPartitions), results identical either way
+    (per-row function), only the batch composition changes.
     """
+    if sortish:
+        from pyspark.sql import functions as F
+
+        docs = docs.sortWithinPartitions(F.size(tokens_col))
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
     schema = f"{out_fields}, keyphrases array<string>, kp_scores array<float>"

@@ -270,7 +270,11 @@ FROM first GROUP BY doc_id
 
 
 def q_keyphrase_extract(spark, sf_dir):
-    """Full dlkp BIO path (rows-only; pytest covers vs pure-Python)."""
+    """rows-only: the stand-in tagger's emissions are blake2b token hashes
+    (deterministic stand-in for transformer logits) — not SQL-computable,
+    so no DuckDB oracle can replay the BIO path. The decode state machine
+    itself is pytest-pinned against the pure-Python port (test_keyphrase),
+    and its SQL-expressible surface is oracle-gated via tag_metrics."""
     docs = docs_for_engine(spark, sf_dir, tagged=True)
     return (docs.select("doc_id", F.explode("keyphrases").alias("keyphrase"))
             .groupBy("keyphrase").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -489,6 +493,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """rows-only: the signature depends on xxhash64 (JVM murmur-family),
+    which DuckDB cannot compute — SQL can't derive the same 64-bit
+    signatures. Covered by pytest: a pure-Python fold over Spark-provided
+    token hashes must reproduce every signature bit
+    (test_dedup.test_simhash_matches_pure_python_fold)."""
     from dlkp_spark.pipeline.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)

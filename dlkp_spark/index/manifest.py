@@ -27,6 +27,32 @@ def config_hash(cfg: Any) -> str:
     return hashlib.blake2b(repr(cfg).encode(), digest_size=8).hexdigest()
 
 
+def commit_dataset(tmp_dir: str, final_dir: str) -> None:
+    """THE commit point for a dataset directory: staged output → visible.
+
+    All index writers stage their parquet under a ``_tmp``/``._tmp`` path
+    and make it visible through this single function, so swapping the
+    commit mechanism swaps it everywhere:
+
+    - here (POSIX local fs): ``os.replace`` — atomic rename; readers see
+      either the old dataset or the new one, never a partial write.
+    - Iceberg deployment (the north-star layout): replace the body with a
+      catalog snapshot commit (``table.newOverwrite()...commit()`` /
+      ``df.writeTo(tbl).overwritePartitions()``) — same contract: the
+      snapshot pointer swap is the atomic commit, staged data files are
+      invisible until it lands.
+    - object stores without atomic rename (S3): write to a new prefix and
+      commit via the manifest pointer (write_shard_manifest is already the
+      source of truth for what is committed — completed_shards ignores
+      data not referenced by a manifest).
+    """
+    import shutil
+
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.replace(tmp_dir, final_dir)
+
+
 def manifest_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "_manifests")
 

@@ -172,8 +172,7 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
     merged.write.mode("overwrite").parquet(os.path.join(tmp, "segments", "shard=0"))
     n_rows = spark.read.parquet(os.path.join(tmp, "segments")).count()
     os.makedirs(tmp, exist_ok=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
+    mf.commit_dataset(tmp, out_dir)
     new_stats = dict(stats)
     new_stats["segment_docs"] = segment_docs
     # blocks were just re-encoded with cfg.block_size — never carry the

@@ -45,6 +45,40 @@ def test_merge_preserves_query_results(spark, dirs):
            sorted([tuple(r) for r in b], key=lambda t: (t[0], t[1]))
 
 
+def test_merge_with_different_block_size_queries_correctly(spark, dirs):
+    """ADVICE regression: merging with a cfg whose block_size differs from
+    the source build must write the NEW block_size into stats.json, or
+    wand_topk indexes block_max/block_last with the wrong stride."""
+    import os
+
+    from dlkp_spark.index.build import load_stats
+    from dlkp_spark.query.wand import wand_topk
+
+    src, _ = dirs
+    out = os.path.join(os.path.dirname(src), "merged_bs")
+    cfg2 = IndexConfig(segment_docs=CFG.segment_docs, block_size=32,
+                       n_term_partitions=4)  # source built with block_size=8
+    merge_segments(spark, src, out, factor=2, cfg=cfg2)
+    assert load_stats(out)["block_size"] == 32
+    queries = reference_query_set(n_queries=5)
+    a = wand_topk(spark, src, queries, BM25Params(), k=10).collect()
+    b = wand_topk(spark, out, queries, BM25Params(), k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a), key=lambda t: t[:2]) == \
+           sorted(map(tuple, b), key=lambda t: t[:2])
+
+
+def test_merge_default_cfg_inherits_source_block_size(spark, dirs):
+    import os
+
+    from dlkp_spark.index.build import load_stats
+
+    src, _ = dirs
+    out = os.path.join(os.path.dirname(src), "merged_default")
+    merge_segments(spark, src, out, factor=2)  # no cfg given
+    assert load_stats(out)["block_size"] == CFG.block_size
+
+
 def test_merge_is_atomic_on_rerun(spark, dirs):
     src, out = dirs
     # merging again over the merged index into a new dir works and halves again

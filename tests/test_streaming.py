@@ -37,6 +37,30 @@ def test_all_docs_ingested_exactly_once(spark, stream_dirs):
     assert len(m["batches"]) >= 1
 
 
+def test_replayed_batch_reuses_doc_id_base(spark, tmp_path):
+    """ADVICE regression: a streaming retry (same batch_id, same data) must
+    re-derive the SAME doc ids from the recorded base and must not advance
+    next_doc_id — exactly-once in effect, stable ids across replays."""
+    from dlkp_spark.streaming.ingest import append_batch, load_stream_postings
+
+    index_dir = str(tmp_path / "replay_idx")
+    pages = generate_web_pages(spark, 60, seed=7)
+    b0, b1 = pages.filter("pmod(crc32(url), 2) = 0"), pages.filter("pmod(crc32(url), 2) = 1")
+    append_batch(spark, b0, index_dir, CFG, 0)
+    append_batch(spark, b1, index_dir, CFG, 1)
+    m0 = mf.read_global(index_dir, "ingest.json")
+    before = sorted(map(tuple, load_stream_postings(spark, index_dir)
+                        .select("term", "field", "n_postings").collect()))
+    n = append_batch(spark, b0, index_dir, CFG, 0)  # retry of batch 0
+    m1 = mf.read_global(index_dir, "ingest.json")
+    assert m1["next_doc_id"] == m0["next_doc_id"], "replay advanced the id space"
+    assert m1["batches"]["0"]["base"] == m0["batches"]["0"]["base"] == 0
+    assert n == m0["batches"]["0"]["n"]
+    after = sorted(map(tuple, load_stream_postings(spark, index_dir)
+                       .select("term", "field", "n_postings").collect()))
+    assert before == after, "replay changed the index content"
+
+
 def test_streamed_postings_content_matches_oracle(spark, stream_dirs):
     _, index_dir, pages = stream_dirs
     postings = load_stream_postings(spark, index_dir).filter("field = 0").collect()
