@@ -503,6 +503,31 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_embed_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact variant; the LSH-bucketed
+    scale path is pipeline/similarity.embedding_cosine_pairs_lsh, pytest-
+    covered for recall). Pairs only — the cosine value is float-fold-
+    order sensitive across engines, the pair SET is not."""
+    from dlkp_spark.pipeline.similarity import embedding_cosine_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    return embedding_cosine_pairs(embs, threshold=0.4).select("a", "b")
+
+
+SQL_EMBED_COSINE_PAIRS = """
+WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings WHERE vec_id != 0
+)
+SELECT a.id AS a, b.id AS b
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+      i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm) >= 0.4
+"""
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .filter(F.col("vec_id") == 0).select("embedding").first())
@@ -837,6 +862,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
+    "embed_cosine_pairs": (q_embed_cosine_pairs, SQL_EMBED_COSINE_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_COSINE),

@@ -77,6 +77,40 @@ def with_lsh_bucket(embs: DataFrame, n_planes: int = 16, seed: int = 42,
     return embs.withColumn("bucket", bucket)
 
 
+def write_bucketed(embs: DataFrame, path: str, n_planes: int = 16,
+                   seed: int = 42, vec_col: str = "embedding") -> None:
+    """Persist the vectors PARTITIONED BY their LSH bucket — the 10^12-row
+    layout: a top-k probe then reads only the probed buckets' partitions
+    (partition pruning at the file-listing level, no data scan of the
+    rest). On Iceberg the bucket column is the partition spec; here it is
+    a hive-style parquet partition, same pruning semantics.
+    """
+    with_lsh_bucket(embs, n_planes, seed, vec_col) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def probed_topk(spark, path: str, query_vec: list[float], k: int = 10,
+                n_planes: int = 16, seed: int = 42, multiprobe: int = 1,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k over a bucket-partitioned table: compute the probe set
+    driver-side (tiny), filter on the PARTITION column (prunes at file
+    listing), brute-force cosine within the survivors."""
+    from itertools import combinations
+
+    planes = lsh_planes(len(query_vec), n_planes, seed)
+    qb = int(sum(1 << i for i, b in
+                 enumerate((planes @ np.asarray(query_vec)) > 0) if b))
+    probe = {qb}
+    for r in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            probe.add(qb ^ flip)
+    bucketed = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probe)))
+    return brute_cosine_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
 def ivf_centroids(embs: DataFrame, n_centroids: int = 16, seed: int = 42,
                   vec_col: str = "embedding", iters: int = 5) -> np.ndarray:
     """IVF coarse quantizer: k-means on a deterministic sample.
@@ -139,6 +173,59 @@ def ivf_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
     cells = [int(c) for c in order]
     cands = with_ivf_cell(embs, cents, vec_col).filter(F.col("cell").isin(cells))
     return brute_cosine_topk(cands.drop("cell"), query_vec, k, vec_col, id_col)
+
+
+def embedding_cosine_pairs(embs: DataFrame, threshold: float = 0.9,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (a, b, cosine) with a < b,
+    cosine >= threshold. All JVM-side: per-row norm precompute, self-join,
+    ``zip_with``/``aggregate`` dot product.
+
+    This exact variant is the oracle-checkable one — O(n²) by design; at
+    10^12 rows run :func:`embedding_cosine_pairs_lsh`, which restricts the
+    same verify expression to LSH-bucket candidates (identical output when
+    the bucket recall covers the threshold — same two-tier design as
+    ngram_jaccard_pairs / minhash_lsh_pairs).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = embs.select(F.col(id_col).alias("id"), v.alias("v"),
+                    F.sqrt(_dot(v, v)).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_cosine_pairs_lsh(embs: DataFrame, threshold: float = 0.9,
+                               n_planes: int = 8, seed: int = 42,
+                               vec_col: str = "embedding", id_col: str = "vec_id",
+                               max_bucket: int = 4096) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket the
+    vectors, generate candidates only within a bucket, verify with the
+    exact cosine. High-cosine pairs agree on most hyperplane signs —
+    P[sign flip] = theta/pi per plane — so bucket-equality recall rises
+    toward 1 as threshold→1; the knob trade is recall vs join fan-in,
+    exactly like minhash banding. One shuffle to bucket, bucket-equi-join
+    (never cartesian), window-capped buckets against skew.
+    """
+    bucketed = with_lsh_bucket(embs, n_planes, seed, vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = bucketed.select(F.col(id_col).alias("id"), F.col("bucket"),
+                        v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+    wn = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    e = e.withColumn("_n", wn).filter(F.col("_n") <= max_bucket).drop("_n")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                    F.round("cosine", 6).alias("cosine")))
 
 
 def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,

@@ -57,3 +57,41 @@ def test_doc_id_join_is_broadcast(spark):
     docs = prepare_docs(generate_web_pages(spark, 80, seed=1))
     plan = plan_of(docs)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_ann_table_partition_prunes(spark, tmp_path):
+    """write_bucketed + probed_topk: the probe filter must hit the
+    PARTITION column (PartitionFilters in the scan), so at 10^12 rows only
+    the probed buckets' files are listed/read."""
+    import numpy as np
+
+    from dlkp_spark.pipeline.similarity import probed_topk, write_bucketed
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "bucketed")
+    write_bucketed(embs, path, n_planes=4)
+    q = [float(x) for x in rng.standard_normal(8)]
+    df = probed_topk(spark, path, q, k=5, n_planes=4, multiprobe=1)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], plan
+    # pruning must not break correctness vs scanning + filtering
+    got = [r["vec_id"] for r in df.collect()]
+    from dlkp_spark.pipeline.similarity import lsh_cosine_topk
+
+    want = [r["vec_id"] for r in
+            lsh_cosine_topk(embs, q, k=5, n_planes=4, multiprobe=1).collect()]
+    assert got == want
+
+
+def test_simhash_single_shuffle(spark):
+    """The signature aggregate must be ONE exchange keyed on doc_id."""
+    from dlkp_spark.pipeline.dedup import simhash_signatures
+
+    docs = spark.createDataFrame([(i, "a b c") for i in range(10)],
+                                 "doc_id long, text string")
+    plan = plan_of(simhash_signatures(docs))
+    assert plan.count("Exchange") <= 2, plan  # input repartition absent here → 1
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan

@@ -65,3 +65,38 @@ def test_lsh_fewer_planes_higher_recall(spark, embs):
     exact = {r["vec_id"] for r in brute_cosine_topk(df, q, k=10).collect()}
     ann4 = {r["vec_id"] for r in lsh_cosine_topk(df, q, k=10, n_planes=4).collect()}
     assert len(exact & ann4) / 10 >= 0.7
+
+
+def test_embedding_cosine_pairs_exact_vs_numpy(spark, embs):
+    from dlkp_spark.pipeline.similarity import embedding_cosine_pairs
+
+    df, vecs = embs
+    got = {(r["a"], r["b"]) for r in embedding_cosine_pairs(df, threshold=0.5).collect()}
+    v = vecs.astype(np.float64)
+    nrm = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    want = {(a, b) for a in range(N) for b in range(a + 1, N) if cos[a, b] >= 0.5}
+    assert got == want
+
+
+def test_embedding_cosine_pairs_lsh_recall_on_near_dups(spark):
+    """Planted near-duplicate vectors (tiny perturbations) must survive the
+    LSH-bucketed scale path — high-cosine pairs agree on hyperplane signs."""
+    from dlkp_spark.pipeline.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, DIM))
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in base[i] + 0.02 * rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in embedding_cosine_pairs(df, threshold=0.99).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_cosine_pairs_lsh(df, threshold=0.99, n_planes=8).collect()}
+    assert len(exact) == 40          # each planted twin pair
+    assert lsh <= exact              # verify step guarantees precision
+    assert len(lsh) >= 0.9 * len(exact)   # near-identical vectors share buckets
