@@ -81,13 +81,20 @@ def main() -> None:
                 "tag_metrics", "generation_topk"]
     for name in headline:
         fn, _sql = contract.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = time.perf_counter() - t0
-        # drop leaked caches between queries so one query's working set
-        # doesn't tax the next (session-lifetime degradation is real on
-        # this host — see BASELINE.md)
-        spark.catalog.clearCache()
+        # best-of-2: the shared host shows CPU-steal spikes that can 3×
+        # a single measurement (documented in BASELINE.md); min time is
+        # the standard contention-robust estimator. Second run is NOT a
+        # cache hit: the catalog cache is cleared between runs.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop leaked caches between queries so one query's working
+            # set doesn't tax the next
+            spark.catalog.clearCache()
+        timings[name] = best
 
     total = sum(timings.values())
     out = {

@@ -366,6 +366,64 @@ FROM c
 """
 
 
+def q_bio_extract(spark, sf_dir):
+    """Oracle-gated BIO→span decode (M5): tags come from the shared
+    SQL-expressible rule, but the DECODE runs through the engine's real
+    ``extract_kp_from_tags`` state machine (reference extraction.py:316-377
+    semantics — I-after-O accumulates, B restarts, trailing span emitted,
+    lowercase first-wins dedup) inside mapInPandas; DuckDB replays the
+    same machine relationally (gaps-and-islands spans → surface slice →
+    per-doc DISTINCT → counts). Any drift in the state machine's span
+    boundaries, surface join, or dedup fails the hash."""
+    import pandas as pd
+
+    from dlkp_spark.analysis.keyphrase import extract_kp_from_tags
+
+    _gold_rule, pred_rule = _tag_rules()
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _toks().alias("tokens"),
+        F.transform(_toks(), pred_rule).alias("tags"))
+
+    def run(batches):
+        for pdf in batches:
+            kps = [extract_kp_from_tags(list(t), list(g))[0]
+                   for t, g in zip(pdf["tokens"], pdf["tags"])]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "kps": kps})
+
+    ex = d.mapInPandas(run, "doc_id long, kps array<string>")
+    return (ex.select("doc_id", F.explode("kps").alias("keyphrase"))
+            .groupBy("keyphrase").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
+
+
+SQL_BIO_EXTRACT = f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM l, unnest(range(1, len(toks) + 1)) AS r(i)),
+bt AS (SELECT doc_id, pos, {_SQL_TAG_RULE.format(m=3)} AS tag FROM tok),
+lagged AS (
+  SELECT doc_id, pos, tag, lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM bt
+),
+flagged AS (
+  SELECT doc_id, pos, tag,
+    sum(CASE WHEN tag != 'O' AND (tag = 'B' OR prev IS NULL OR prev = 'O')
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) AS e FROM flagged
+  WHERE tag != 'O' GROUP BY doc_id, span_id
+),
+surf AS (
+  SELECT DISTINCT sp.doc_id, array_to_string(l.toks[sp.s:sp.e], ' ') AS keyphrase
+  FROM spans sp JOIN l USING (doc_id)
+)
+SELECT keyphrase, count(*) AS n_docs FROM surf
+GROUP BY keyphrase ORDER BY n_docs DESC, keyphrase LIMIT 100
+"""
+
+
 def q_generation_topk(spark, sf_dir):
     """Beam-generation stand-in (reference generator.py:42-89 + [KP_SEP]
     decode): deterministic top-3 candidate phrases per doc, KP_SEP-joined."""
@@ -854,6 +912,7 @@ QUERIES = {
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
+    "bio_extract": (q_bio_extract, SQL_BIO_EXTRACT),
     "tag_metrics": (q_tag_metrics, SQL_TAG_METRICS),
     "generation_topk": (q_generation_topk, SQL_GENERATION_TOPK),
     "source_json": (q_source_json, SQL_SOURCE_JSON),
