@@ -232,9 +232,14 @@ def build_index(
     """Full SPIMI build → ``index_dir``/{segments/shard=K, stats.json, _manifests}.
 
     ``docs`` must carry (doc_id, tokens, keyphrases). Returns build metrics.
-    Shards partition the doc-id space (shard = segment % n_shards); each
-    shard is one independent, atomically-committed Spark job, which is the
-    resume/checkpoint unit.
+    Shards partition the doc-id space (shard = segment % n_shards) and are
+    the resume/checkpoint unit, but ALL pending shards are encoded in ONE
+    Spark job (``write.partitionBy("shard")``): the round-2 per-shard job
+    loop serialized n_shards job barriers and dominated the build's fixed
+    Amdahl intercept. Each shard still commits atomically (tmp dir →
+    rename) with its own manifest, so a kill mid-build leaves either a
+    committed shard or nothing — a rerun re-encodes exactly the
+    uncommitted shards and produces an identical index.
     """
     cfg = cfg or IndexConfig()
     ch = mf.config_hash((cfg, "v1"))
@@ -265,11 +270,14 @@ def build_index(
 
     metrics = {"shards": [], "n_docs": stats["n_docs"]}
     done = mf.completed_shards(index_dir, ch) if resume else set()
-    for shard in range(n_shards):
-        if shard in done:
-            metrics["shards"].append({"shard": shard, "skipped": True})
-            continue
-        shard_rows = tokens_df.filter(F.col("segment") % n_shards == shard)
+    todo = [s for s in range(n_shards) if s not in done]
+    payloads: dict[int, dict] = {
+        s: {"shard": s, "skipped": True} for s in range(n_shards) if s in done}
+    if todo:
+        pending = tokens_df
+        if len(todo) < n_shards:
+            pending = pending.filter(
+                (F.col("segment") % n_shards).isin([int(s) for s in todo]))
         # HASH repartition on (term, field, segment), not repartitionByRange:
         # the encode kernel only needs each (term, field, segment) group
         # whole in one partition plus the within-partition sort below, and
@@ -278,27 +286,40 @@ def build_index(
         # stage scaling eff 0.77 → 1.06). Head-term skew is still spread
         # because segment is in the hash key (the salt): a hot term's rows
         # split across its ~n_docs/segment_docs segments.
-        encoded = (shard_rows
+        #
+        # ``shard`` is re-derived JVM-side from the encoded segment (every
+        # (term, field, segment) group maps to exactly one shard), so the
+        # encode kernel stays shard-agnostic and ALL shards write in one
+        # job via partitionBy — no per-shard job barrier.
+        encoded = (pending
                    .repartition(cfg.n_term_partitions, "term", "field", "segment")
                    .sortWithinPartitions("term", "field", "segment", "doc_id")
-                   .mapInPandas(_encode_partition(stats, cfg), POSTINGS_SCHEMA))
-        final = os.path.join(index_dir, "segments", f"shard={shard}")
-        tmp = os.path.join(index_dir, "_tmp", f"shard={shard}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        encoded.write.mode("overwrite").parquet(tmp)
-        # per-partition lineage + metrics from the committed files
+                   .mapInPandas(_encode_partition(stats, cfg), POSTINGS_SCHEMA)
+                   .withColumn("shard", (F.col("segment") % n_shards).cast("int")))
+        tmp_root = os.path.join(index_dir, "_tmp", "build")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        encoded.write.mode("overwrite").partitionBy("shard").parquet(tmp_root)
+        # per-shard atomic commit + per-partition lineage from the staged
+        # files; a crash between commits leaves earlier shards committed
+        # and later ones absent — exactly the resume contract
         import pyarrow.parquet as pq
-        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        n_rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows for f in files)
-        mf.commit_dataset(tmp, final)
-        payload = {
-            "shard": shard, "status": "committed", "config_hash": ch,
-            "posting_rows": n_rows, "files": sorted(files),
-            "lineage": {"input": "token_table", "filter": f"segment % {n_shards} == {shard}",
-                        "n_term_partitions": cfg.n_term_partitions},
-        }
-        mf.write_shard_manifest(index_dir, shard, payload)
-        metrics["shards"].append(payload)
+        for shard in todo:
+            tmp = os.path.join(tmp_root, f"shard={shard}")
+            os.makedirs(tmp, exist_ok=True)  # shard may be empty of terms
+            final = os.path.join(index_dir, "segments", f"shard={shard}")
+            files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            n_rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+                         for f in files)
+            mf.commit_dataset(tmp, final)
+            payloads[shard] = {
+                "shard": shard, "status": "committed", "config_hash": ch,
+                "posting_rows": n_rows, "files": sorted(files),
+                "lineage": {"input": "token_table",
+                            "filter": f"segment % {n_shards} == {shard}",
+                            "n_term_partitions": cfg.n_term_partitions},
+            }
+            mf.write_shard_manifest(index_dir, shard, payloads[shard])
+    metrics["shards"] = [payloads[s] for s in range(n_shards)]
     tokens.unpersist()
     dfs.unpersist()
     shutil.rmtree(os.path.join(index_dir, "_tmp"), ignore_errors=True)

@@ -34,17 +34,20 @@ def brute_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k by cosine: (rank, vec_id, cosine). Tie-break by id asc.
 
-    Scale shape: embarrassingly parallel scan + a k-row-per-partition
-    TakeOrdered (Catalyst turns the window-over-constant into a global
-    sort limit under AQE; for 10^12 rows use ``orderBy(...).limit(k)``
-    which executes as per-partition top-k + merge).
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps a k-row heap and only k
+    rows per partition merge — so the full corpus is never sorted and
+    nothing funnels through one partition. Rank assignment then runs a
+    window over the surviving ≤k rows only (explicit single-partition key:
+    at that size one partition IS the plan, and the constant key documents
+    it instead of tripping Spark's no-partition-defined warning).
     """
     scored = with_cosine(embs, query_vec, vec_col)
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("rank", F.col(id_col).alias("vec_id"),
-                    F.round("cosine", 6).alias("cosine")))
+    top = (scored.select(F.col(id_col).alias("vec_id"), "cosine")
+           .orderBy(F.col("cosine").desc(), "vec_id").limit(k))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cosine").desc(), "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", F.round("cosine", 6).alias("cosine")))
 
 
 def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -60,14 +63,16 @@ def bucket_of(vec: np.ndarray, planes: np.ndarray) -> int:
 
 
 def with_lsh_bucket(embs: DataFrame, n_planes: int = 16, seed: int = 42,
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
     """+bucket column: sign-bit hyperplane LSH, computed JVM-side.
 
     The plane matrix is embedded as literal arrays (small: n_planes × dim
     doubles) — on a cluster it constant-folds into codegen; no Python in
-    the scan path.
+    the scan path. Pass ``dim`` to skip the one-row probe job that
+    otherwise discovers the vector dimensionality.
     """
-    dim = len(embs.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
     planes = lsh_planes(dim, n_planes, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucket = F.lit(0)
@@ -78,14 +83,15 @@ def with_lsh_bucket(embs: DataFrame, n_planes: int = 16, seed: int = 42,
 
 
 def write_bucketed(embs: DataFrame, path: str, n_planes: int = 16,
-                   seed: int = 42, vec_col: str = "embedding") -> None:
+                   seed: int = 42, vec_col: str = "embedding",
+                   dim: int | None = None) -> None:
     """Persist the vectors PARTITIONED BY their LSH bucket — the 10^12-row
     layout: a top-k probe then reads only the probed buckets' partitions
     (partition pruning at the file-listing level, no data scan of the
     rest). On Iceberg the bucket column is the partition spec; here it is
     a hive-style parquet partition, same pruning semantics.
     """
-    with_lsh_bucket(embs, n_planes, seed, vec_col) \
+    with_lsh_bucket(embs, n_planes, seed, vec_col, dim) \
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -112,20 +118,36 @@ def probed_topk(spark, path: str, query_vec: list[float], k: int = 10,
 
 
 def ivf_centroids(embs: DataFrame, n_centroids: int = 16, seed: int = 42,
-                  vec_col: str = "embedding", iters: int = 5) -> np.ndarray:
+                  vec_col: str = "embedding", iters: int = 5,
+                  sample_size: int = 4096,
+                  sample_fraction: float | None = None) -> np.ndarray:
     """IVF coarse quantizer: k-means on a deterministic sample.
 
     Distributed shape: TRAIN on a driver-side sample (standard practice —
     IVF training is O(sample), independent of corpus size), ASSIGN
-    distributed. Sampling is total-order deterministic — orderBy
-    (hash(vec), vec) so rows tying on hash at the 4096 limit boundary
-    can't make the sample run-dependent — and Lloyd iterations run in
-    numpy.
+    distributed. The sample is deterministic AND never globally sorts the
+    corpus: a hash-threshold filter (``pmod(xxhash64(vec), D) < f·D``,
+    content-keyed so it is partitioning-invariant) prunes the scan first
+    when ``sample_fraction`` is given (set it to ~4·sample_size/n_rows at
+    scale), then ``orderBy(hash, vec).limit(sample_size)`` over the
+    survivors — which Catalyst plans as TakeOrderedAndProject (a
+    sample_size-row heap per partition + heap merge, no global Sort
+    exchange; asserted in tests/test_plans.py). The (hash, vec) composite
+    order keeps ties at the limit boundary run-independent; Lloyd
+    iterations run in numpy.
     """
+    pool = embs.select(vec_col)
+    denom = 1 << 20
+    hkey = F.pmod(F.xxhash64(F.col(vec_col).cast("array<double>")), F.lit(denom))
+    if sample_fraction is not None:
+        # strict prefix of the sample order: as long as the fraction keeps
+        # >= sample_size rows, the filtered sample is IDENTICAL to the
+        # unfiltered one — the filter only prunes rows the limit would
+        # discard anyway
+        pool = pool.filter(hkey < F.lit(int(sample_fraction * denom)))
     sample = np.array(
         [list(map(float, r[0])) for r in
-         embs.select(vec_col).orderBy(F.hash(vec_col), F.col(vec_col))
-             .limit(4096).collect()],
+         pool.orderBy(hkey, F.col(vec_col)).limit(sample_size).collect()],
         dtype=np.float64)
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
@@ -241,7 +263,7 @@ def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
     """
     from itertools import combinations
 
-    dim = len(query_vec)
+    dim = len(query_vec)  # also passed to with_lsh_bucket — no probe job
     planes = lsh_planes(dim, n_planes, seed)
     qb = int(sum(1 << i for i, b in enumerate((planes @ np.asarray(query_vec)) > 0) if b))
     probe = {qb}
@@ -251,6 +273,6 @@ def lsh_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
             for i in bits:
                 flip |= 1 << i
             probe.add(qb ^ flip)
-    bucketed = with_lsh_bucket(embs, n_planes, seed, vec_col)
+    bucketed = with_lsh_bucket(embs, n_planes, seed, vec_col, dim=dim)
     cands = bucketed.filter(F.col("bucket").isin(sorted(probe)))
     return brute_cosine_topk(cands, query_vec, k, vec_col, id_col)

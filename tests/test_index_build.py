@@ -111,6 +111,49 @@ def test_resume_skips_committed_and_completes(spark, docs, tmp_path):
     assert resumed == full  # identical index after resume
 
 
+def test_manifest_lineage_matches_committed_partitions(spark, docs, tmp_path):
+    """Per-partition lineage: every shard manifest lists exactly the parquet
+    files committed under its shard=K partition dir, and the recorded row
+    counts sum to the shard's actual posting rows."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx_lineage")
+    build_index(spark, docs, d, cfg=CFG, n_shards=3)
+    for shard in range(3):
+        m = mf.read_shard_manifest(d, shard)
+        part_dir = os.path.join(d, "segments", f"shard={shard}")
+        on_disk = sorted(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        assert m["files"] == on_disk
+        n_rows = sum(pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+                     for f in on_disk)
+        assert m["posting_rows"] == n_rows
+
+
+def test_kill_after_stage_before_commit_resumes_identically(spark, docs, tmp_path):
+    """Crash window between the staging write and a shard's commit: the
+    staged _tmp data exists but no manifest — a rerun must ignore the stale
+    staging dir, rebuild the uncommitted shard, and produce an identical
+    index."""
+    import shutil
+
+    d = str(tmp_path / "idx_kill")
+    build_index(spark, docs, d, cfg=CFG, n_shards=3)
+    full = {(r["term"], r["field"], r["segment"]): r["docs_vb"]
+            for r in load_postings(spark, d).collect()}
+    # simulate: shard 2 was staged but the process died before commit —
+    # its manifest and committed dir are gone, stale bytes sit in _tmp
+    os.remove(mf.shard_manifest_path(d, 2))
+    committed = os.path.join(d, "segments", "shard=2")
+    staged = os.path.join(d, "_tmp", "build", "shard=2")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    shutil.move(committed, staged)
+    metrics = build_index(spark, docs, d, cfg=CFG, n_shards=3, resume=True)
+    assert {m["shard"] for m in metrics["shards"] if m.get("skipped")} == {0, 1}
+    resumed = {(r["term"], r["field"], r["segment"]): r["docs_vb"]
+               for r in load_postings(spark, d).collect()}
+    assert resumed == full
+
+
 def test_config_change_invalidates_resume(spark, docs, tmp_path):
     d = str(tmp_path / "idx3")
     build_index(spark, docs, d, cfg=CFG, n_shards=2)

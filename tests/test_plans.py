@@ -86,6 +86,52 @@ def test_bucketed_ann_table_partition_prunes(spark, tmp_path):
     assert got == want
 
 
+def test_brute_cosine_topk_has_no_global_sort_or_bare_window(spark):
+    """The exact ANN rank path must plan as TakeOrderedAndProject
+    (per-partition k-heap + k-row merge), never a full Sort exchange, and
+    its rank window must carry an explicit partition key (a bare window
+    funnels the whole input through one partition at 10^12 rows)."""
+    import numpy as np
+
+    from dlkp_spark.pipeline.similarity import brute_cosine_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = brute_cosine_topk(embs, [float(x) for x in rng.standard_normal(8)], k=5)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Sort allowed is the k-row window sort AFTER the take
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "Window []" not in ln  # no empty partition spec
+    assert df.count() == 5
+
+
+def test_ivf_sample_has_no_global_sort(spark):
+    """ivf_centroids' driver-side sample must not globally sort the corpus:
+    TakeOrderedAndProject (bounded heap), optional hash-threshold filter."""
+    import numpy as np
+
+    from dlkp_spark.pipeline import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    denom = 1 << 20
+    hkey = F.pmod(F.xxhash64(F.col("embedding").cast("array<double>")), F.lit(denom))
+    sample_df = embs.select("embedding").orderBy(hkey, F.col("embedding")).limit(64)
+    plan = plan_of(sample_df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # prefix property: hash-threshold filter + limit == plain limit when
+    # the fraction keeps >= sample_size survivors
+    full = sim.ivf_centroids(embs, n_centroids=4, sample_size=64)
+    filtered = sim.ivf_centroids(embs, n_centroids=4, sample_size=64,
+                                 sample_fraction=0.95)
+    assert np.allclose(full, filtered)
+
+
 def test_simhash_single_shuffle(spark):
     """The signature aggregate must be ONE exchange keyed on doc_id."""
     from dlkp_spark.pipeline.dedup import simhash_signatures
