@@ -209,6 +209,62 @@ def viterbi_decode_np(logits, transitions, start=None) -> tuple[list[int], float
     return path, float(score.max())
 
 
+def viterbi_decode_topk(logits, transitions, start=None,
+                        top_k: int = 1) -> list[tuple[list[int], float]]:
+    """k-best Viterbi (reference O4: crf.py:197-216 exposes ``top_k``
+    decodings through crf_utils.viterbi_decode:187-232's contract —
+    "a List of length top_k, containing the top K viterbi decodings ...
+    (tag_sequence, viterbi_score)").
+
+    Standard k-best DP: each (timestep, tag) state keeps its ``top_k``
+    best incoming (score, prev_tag, prev_rank) continuations; the final
+    merge ranks all (tag, rank) endings. Ties break deterministically by
+    (score desc, prev_tag asc, prev_rank asc) — consistent with the
+    top-1 kernel's first-maximal-index rule, and the rank-1 result is
+    bit-identical to :func:`viterbi_decode_np` (pinned in
+    tests/test_viterbi.py).
+    """
+    import numpy as np
+
+    logits = np.asarray(logits, dtype=np.float64)
+    n, k_tags = logits.shape
+    kb = top_k
+    NEG = -np.inf
+    # score[tag, r]; parent[t][tag, r] = (prev_tag, prev_rank)
+    score = np.full((k_tags, kb), NEG)
+    score[:, 0] = logits[0] + (start if start is not None else 0.0)
+    parents: list[np.ndarray] = []
+    for t in range(1, n):
+        new_score = np.full((k_tags, kb), NEG)
+        parent = np.zeros((k_tags, kb, 2), dtype=np.int64)
+        for tag in range(k_tags):
+            # all K*kb candidate continuations into `tag`
+            cand = score + transitions[:, tag][:, None]  # (prev_tag, rank)
+            flat = cand.ravel()  # index = prev_tag * kb + rank → asc tiebreak
+            order = np.argsort(-flat, kind="stable")[:kb]
+            for r, idx in enumerate(order):
+                if flat[idx] == NEG:
+                    break
+                new_score[tag, r] = flat[idx] + logits[t, tag]
+                parent[tag, r] = (idx // kb, idx % kb)
+        parents.append(parent)
+        score = new_score
+    flat = score.ravel()
+    order = np.argsort(-flat, kind="stable")[:kb]
+    out: list[tuple[list[int], float]] = []
+    for idx in order:
+        if flat[idx] == NEG:
+            break
+        tag, r = int(idx // kb), int(idx % kb)
+        path = [tag]
+        for t in range(n - 2, -1, -1):
+            tag, r = (int(x) for x in parents[t][tag, r])
+            path.append(tag)
+        path.reverse()
+        out.append((path, float(flat[idx])))
+    return out
+
+
 def tag_tokens_viterbi(tokens: list[str]) -> tuple[list[str], list[float]]:
     """Viterbi-decoded BIO tags + pseudo-softmax confidence per token."""
     import numpy as np
@@ -226,14 +282,20 @@ def tag_tokens_viterbi(tokens: list[str]) -> tuple[list[str], list[float]]:
 
 
 def tag_and_extract(tokens: list[str], score_method: str = "avg",
-                    decode: str = "greedy") -> tuple[list[str], list[float]]:
+                    decode: str = "greedy", tagger=None) -> tuple[list[str], list[float]]:
     """Full predict path for one document: tag → decode → dedup + scores.
 
     decode='greedy' → per-token argmax with the I-continuation constraint
     (reference non-CRF path); decode='viterbi' → CRF-style global decode
     (reference use_crf=True path, extraction/models.py:92-99).
+    ``tagger`` overrides the model: any ``tokens → (tags, scores)``
+    callable slots in where the transformer forward would run — used by
+    the contract's oracle-gated variant to drive the REAL Arrow inference
+    surface with a SQL-replayable tag rule.
     """
-    if decode == "viterbi":
+    if tagger is not None:
+        tags, scores = tagger(tokens)
+    elif decode == "viterbi":
         tags, scores = tag_tokens_viterbi(tokens)
     else:
         tags, scores = tag_tokens(tokens)
@@ -284,7 +346,7 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
 
 def with_keyphrases(docs: DataFrame, score_method: str = "avg",
                     tokens_col: str = "tokens", decode: str = "greedy",
-                    sortish: bool = False) -> DataFrame:
+                    sortish: bool = False, tagger=None) -> DataFrame:
     """docs(+tokens array<string>) → +keyphrases array<string>,
     +kp_scores array<float>.
 
@@ -313,7 +375,7 @@ def with_keyphrases(docs: DataFrame, score_method: str = "avg",
         # (model load would happen here, once per partition)
         for pdf in batches:
             results = pdf[tokens_col].map(
-                lambda toks: tag_and_extract(list(toks), score_method, decode))
+                lambda toks: tag_and_extract(list(toks), score_method, decode, tagger))
             pdf = pdf[cols].copy()
             pdf["keyphrases"] = results.map(lambda r: r[0])
             pdf["kp_scores"] = results.map(lambda r: r[1])

@@ -396,6 +396,37 @@ def q_bio_extract(spark, sf_dir):
             .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
 
 
+def _ruled_tagger(tokens):
+    """Python twin of _tag_rules()'s pred rule — pluggable 'model' for the
+    oracle-gated full-inference-path contract entry. Scores are a
+    deterministic function of the rule value (the decode's confidence
+    aggregation runs on them, though the gated output drops them)."""
+    tags, scores = [], []
+    for t in tokens:
+        m = ((ord(t[-1]) if t else 0) * 3 + len(t)) % 5
+        tags.append("B" if m == 0 else ("I" if m == 1 else "O"))
+        scores.append(0.5 + m / 10.0)
+    return tags, scores
+
+
+def q_keyphrase_extract_ruled(spark, sf_dir):
+    """Oracle-gated FULL inference surface (extends bio_extract, which
+    gates only the decode state machine): the SQL-expressible tag rule is
+    injected as the ``tagger`` of ``with_keyphrases``, so the whole
+    production Arrow path — iterator mapInPandas batching, sortish
+    length-batching (O5), schema plumbing, per-doc decode + lowercase
+    first-wins dedup — executes exactly as the transformer path would,
+    and DuckDB replays the rule relationally. Any drift in the Arrow
+    surface or the decode fails the hash."""
+    from dlkp_spark.analysis.keyphrase import with_keyphrases
+
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("tokens"))
+    kp = with_keyphrases(d, sortish=True, tagger=_ruled_tagger)
+    return (kp.select("doc_id", F.explode("keyphrases").alias("keyphrase"))
+            .groupBy("keyphrase").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
+
+
 SQL_BIO_EXTRACT = f"""
 WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
 tok AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM l, unnest(range(1, len(toks) + 1)) AS r(i)),
@@ -551,14 +582,83 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """rows-only: the signature depends on xxhash64 (JVM murmur-family),
-    which DuckDB cannot compute — SQL can't derive the same 64-bit
-    signatures. Covered by pytest: a pure-Python fold over Spark-provided
-    token hashes must reproduce every signature bit
-    (test_dedup.test_simhash_matches_pure_python_fold)."""
+    """rows-only: the PRODUCTION signature depends on xxhash64 (JVM
+    murmur-family), which DuckDB cannot compute — SQL can't derive the
+    same 64-bit signatures. Covered by pytest: a pure-Python fold over
+    Spark-provided token hashes must reproduce every signature bit
+    (test_dedup.test_simhash_matches_pure_python_fold). The ENTIRE
+    pipeline downstream of the hash (packed aggregate, majority pack,
+    pigeonhole banding, bucket cap, hamming verify) is hash-gated by
+    ``simhash_fp_pairs``, which runs the same code with a SQL-expressible
+    token hash."""
     from dlkp_spark.pipeline.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_simhash_fp_pairs(spark, sf_dir):
+    """Oracle-gated SimHash near-dup pairs: identical engine pipeline to
+    ``simhash_pairs`` (packed 2-per-long ones-count aggregate → majority
+    pack → 4×16-bit pigeonhole bands → bucket cap → bit_count(xor)
+    verify) with the per-token hash swapped for the SQL-expressible
+    char-polynomial ``fp_token_hash`` — DuckDB replays the whole machine
+    relationally, so any drift in the packing, banding, cap, or verify
+    fails the value hash (the bio_extract gating pattern applied to
+    SimHash)."""
+    from dlkp_spark.pipeline.dedup import fp_token_hash, simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8,
+                         token_hash=fp_token_hash) \
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_fp_pairs(max_hamming: int = 8, max_bucket: int = 256) -> str:
+    tok_hash = ("(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                "list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))), "
+                "(a, x) -> (a * 131 + x) % 2147483647) * CAST(2147483648 AS BIGINT) "
+                "+ list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                "list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))), "
+                "(a, x) -> (a * 1000003 + x) % 2147483647))")
+    # bits 62-63 of the fp hash are structurally 0 → signature bits too
+    ones = ",\n         ".join(
+        f"sum((h >> {j}) & 1) AS o{j}" for j in range(62))
+    majority = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(62))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+h AS (SELECT doc_id, {tok_hash} AS h FROM toks),
+acc AS (
+  SELECT doc_id, count(*) AS n,
+         {ones}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {majority} AS sim FROM acc),
+keys AS (
+  SELECT doc_id, sim, b.band, (sim >> (b.band * 16)) & 65535 AS key
+  FROM sig, unnest([0, 1, 2, 3]) AS b(band)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, sim, band, key,
+           count(*) OVER (PARTITION BY band, key) AS _n
+    FROM keys
+  ) WHERE _n >= 2 AND _n <= {max_bucket}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sim AS sa, y.sim AS sb
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_FP_PAIRS = _sql_simhash_fp_pairs()
 
 
 def q_embed_cosine_pairs(spark, sf_dir):
@@ -912,6 +1012,7 @@ QUERIES = {
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
+    "keyphrase_extract_ruled": (q_keyphrase_extract_ruled, SQL_BIO_EXTRACT),
     "bio_extract": (q_bio_extract, SQL_BIO_EXTRACT),
     "tag_metrics": (q_tag_metrics, SQL_TAG_METRICS),
     "generation_topk": (q_generation_topk, SQL_GENERATION_TOPK),
@@ -921,6 +1022,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_fp_pairs": (q_simhash_fp_pairs, SQL_SIMHASH_FP_PAIRS),
     "embed_cosine_pairs": (q_embed_cosine_pairs, SQL_EMBED_COSINE_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, SQL_KNN_COSINE),

@@ -149,23 +149,47 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
     return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def fp_token_hash(term):
+    """SQL-expressible 62-bit per-token hash: two char-level rolling
+    polynomials mod (2^31 - 1) packed as ``hi * 2^31 + lo``. Same integer
+    recurrence family as textstats.doc_fingerprint, so DuckDB computes the
+    identical value via list_reduce — this is what lets the ORACLE-GATED
+    simhash contract variant hash-check the whole packed-aggregate +
+    banding + hamming-verify pipeline. Bits 62–63 are always 0 (majority
+    of zeros → signature bits stay 0), which only makes band 3 slightly
+    sparser."""
+    vals = F.transform(F.split(term, ""), lambda c: F.ascii(c).cast("long"))
+    lo = F.aggregate(vals, F.lit(0).cast("long"),
+                     lambda a, v: (a * 1000003 + v) % 2147483647)
+    hi = F.aggregate(vals, F.lit(0).cast("long"),
+                     lambda a, v: (a * 131 + v) % 2147483647)
+    return hi * F.lit(2147483648).cast("long") + lo
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", token_hash=None) -> DataFrame:
     """(doc_id, simhash long) — 64-bit SimHash over tf-weighted token hashes.
 
     Fully JVM-side (round-1 per-row Python blake2b kernel replaced):
-    explode tokens, ``xxhash64(term)`` per occurrence, then ONE
+    explode tokens, a 64-bit hash per occurrence, then ONE
     groupBy(doc_id) where the per-bit ONE-counts are packed two-per-long
     (32-bit fields, overflow-safe to 2^31 tokens/doc), so the aggregate
     carries 32 sum columns instead of 64; a bitwise-OR majority pack
     follows: bit j set iff 2*ones_j > n_tokens, identical to the signed
     +/-1 formulation. Single shuffle keyed on doc_id with map-side partial
     aggregation; measured 2x faster than the naive 64-agg at sf0.1.
+
+    ``token_hash``: Column-factory for the per-token hash — default
+    ``xxhash64`` (production: best bit diffusion); inject
+    :func:`fp_token_hash` for the oracle-gated SQL-replayable variant.
+    Everything downstream of the hash (packing, majority, banding,
+    verification) is IDENTICAL code for both.
     """
+    hash_of = token_hash or (lambda c: F.xxhash64(c))
     toks = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
-        .select("doc_id", F.xxhash64("term").alias("h")))
+        .select("doc_id", hash_of(F.col("term")).alias("h")))
 
     def packed(g):
         # ones-count increments for bits (2g, 2g+1) at field offsets 0, 32
@@ -187,7 +211,8 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id", max_bucket: int = 256) -> DataFrame:
+                  id_col: str = "doc_id", max_bucket: int = 256,
+                  token_hash=None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: split 64 bits into 4 16-bit keys — any pair within
@@ -195,7 +220,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     Same bucket-size skew guard as minhash_lsh_pairs (similar head-token
     distributions give correlated sign bits).
     """
-    sig = _persist(simhash_signatures(docs, text_col, id_col))
+    sig = _persist(simhash_signatures(docs, text_col, id_col, token_hash))
     keys = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

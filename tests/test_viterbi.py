@@ -75,6 +75,66 @@ def test_viterbi_matches_brute_force_random_transitions(seed):
     assert got[1] == pytest.approx(want[1])
 
 
+def brute_force_topk(logits, transitions, start=None, top_k=1):
+    """All paths scored and ranked (score desc, path lex asc) — the k-best
+    oracle."""
+    n, k = logits.shape
+    scored = []
+    for path in product(range(k), repeat=n):
+        s = logits[0][path[0]] + (start[path[0]] if start is not None else 0.0)
+        for t in range(1, n):
+            s += transitions[path[t - 1], path[t]] + logits[t][path[t]]
+        scored.append((list(path), float(s)))
+    scored.sort(key=lambda ps: (-ps[1], ps[0]))
+    return scored[:top_k]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_viterbi_topk_matches_brute_force(seed):
+    from dlkp_spark.analysis.keyphrase import viterbi_decode_topk
+
+    rng = np.random.Generator(np.random.PCG64(200 + seed))
+    n = int(rng.integers(1, 7))
+    k = int(rng.integers(2, 5))
+    logits = rng.standard_normal((n, k))
+    trans = rng.standard_normal((k, k))
+    top_k = int(rng.integers(1, 6))
+    got = viterbi_decode_topk(logits, trans, top_k=top_k)
+    want = brute_force_topk(logits, trans, top_k=top_k)
+    assert len(got) == min(top_k, k ** n)
+    # continuous random potentials → ties measure-zero; compare directly
+    for (gp, gs), (wp, ws) in zip(got, want):
+        assert gp == wp
+        assert gs == pytest.approx(ws)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_viterbi_topk_rank1_equals_top1_kernel(seed):
+    from dlkp_spark.analysis.keyphrase import viterbi_decode_topk
+
+    rng = np.random.Generator(np.random.PCG64(300 + seed))
+    n = int(rng.integers(1, 8))
+    logits = rng.standard_normal((n, 3))
+    trans, start = _crf_params()
+    path1, score1 = viterbi_decode_np(logits, trans, start)
+    [(pathk, scorek), *_] = viterbi_decode_topk(logits, trans, start, top_k=3)
+    assert pathk == path1
+    assert scorek == pytest.approx(score1)
+
+
+def test_viterbi_topk_respects_bio_constraints():
+    from dlkp_spark.analysis.keyphrase import TAG_NAMES, viterbi_decode_topk
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    logits = rng.standard_normal((12, 3))
+    trans, start = _crf_params()
+    for path, _score in viterbi_decode_topk(logits, trans, start, top_k=5):
+        tags = [TAG_NAMES[i] for i in path]
+        assert tags[0] != "I"
+        for prev, cur in zip(tags, tags[1:]):
+            assert not (prev == "O" and cur == "I")
+
+
 def test_viterbi_tags_respect_bio_constraints():
     toks = [f"w{i:04d}" for i in range(400)]
     tags, scores = tag_tokens_viterbi(toks)
