@@ -50,26 +50,81 @@ def main() -> None:
     pages = spark.read.parquet(src_dir)
 
     # -- index build (analyze → tag → ids → encode → commit) ----------------
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    # best-of-2 like every other number here: the shared host's CPU-steal
+    # spikes can 2× a single-shot measurement (BASELINE.md), and the
+    # round-2 artifact recorded exactly that artifact-vs-claim mismatch.
+    # n_shards=2 matches the contract's WAND query layout; since round 3
+    # all shards encode in ONE job, so shard count no longer multiplies
+    # job barriers.
     cfg = IndexConfig(segment_docs=2048, block_size=64, n_term_partitions=cpus)
-    t0 = time.perf_counter()
-    docs = prepare_docs(pages, validate=True)
-    build_index(spark, docs, idx_dir, cfg=cfg, n_shards=1, resume=False)
-    timings["index_build"] = time.perf_counter() - t0
-    extra["index_build_docs_per_sec"] = n_docs / timings["index_build"]
-    spark.catalog.clearCache()
+    idx_dir = None
+    best = None
+    for _ in range(2):
+        from dlkp_spark.cache import release_cached
+        d = tempfile.mkdtemp(prefix="bench_idx_")
+        t0 = time.perf_counter()
+        docs = prepare_docs(pages, validate=True)
+        build_index(spark, docs, d, cfg=cfg, n_shards=2, resume=False)
+        dt = time.perf_counter() - t0
+        release_cached()
+        spark.catalog.clearCache()
+        if best is None or dt < best:
+            best = dt
+            if idx_dir:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+            idx_dir = d
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+    timings["index_build"] = best
+    extra["index_build_docs_per_sec"] = n_docs / best
 
-    # -- top-10 BM25 over the compressed index ------------------------------
+    # -- top-10 BM25 over the compressed index (best-of-2 each) -------------
     queries = reference_query_set(n_queries=200)
-    t0 = time.perf_counter()
-    n_rows = batch_topk(spark, idx_dir, queries, BM25Params(), k=10).count()
-    timings["bm25_batch_200q"] = time.perf_counter() - t0
+    big_queries = reference_query_set(n_queries=2000)
+
+    def best_of_2(fn):
+        b = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            b = dt if b is None else min(b, dt)
+            spark.catalog.clearCache()
+        return b
+
+    timings["bm25_batch_200q"] = best_of_2(
+        lambda: batch_topk(spark, idx_dir, queries, BM25Params(), k=10).count())
     extra["bm25_queries_per_sec"] = len(queries) / timings["bm25_batch_200q"]
-    extra["bm25_result_rows"] = n_rows
-    t0 = time.perf_counter()
-    wand_topk(spark, idx_dir, queries[:20], BM25Params(), k=10).count()
-    timings["wand_20q"] = time.perf_counter() - t0
+    timings["bm25_batch_2000q"] = best_of_2(
+        lambda: batch_topk(spark, idx_dir, big_queries, BM25Params(), k=10).count())
+    extra["bm25_batch_queries_per_sec"] = (
+        len(big_queries) / timings["bm25_batch_2000q"])
+    timings["wand_20q"] = best_of_2(
+        lambda: wand_topk(spark, idx_dir, queries[:20], BM25Params(), k=10).count())
     extra["wand_queries_per_sec"] = 20 / timings["wand_20q"]
+
+    # -- LSM compaction cycle: many small streamed segments → merge ---------
+    # measures that compaction (a) runs at bench scale and (b) actually
+    # buys query latency back on a fragmented index
+    from dlkp_spark.index.merge import merge_segments
+
+    frag_cfg = IndexConfig(segment_docs=256, block_size=64, n_term_partitions=cpus)
+    frag_dir = tempfile.mkdtemp(prefix="bench_frag_")
+    build_index(spark, prepare_docs(pages, validate=False), frag_dir,
+                cfg=frag_cfg, n_shards=1, resume=False)
+    spark.catalog.clearCache()
+    pre = best_of_2(
+        lambda: batch_topk(spark, frag_dir, queries, BM25Params(), k=10).count())
+    merged_dir = tempfile.mkdtemp(prefix="bench_merged_") + "/idx"
+    t0 = time.perf_counter()
+    merge_segments(spark, frag_dir, merged_dir, factor=8, cfg=frag_cfg)
+    timings["compact_merge8"] = time.perf_counter() - t0
+    post = best_of_2(
+        lambda: batch_topk(spark, merged_dir, queries, BM25Params(), k=10).count())
+    extra["compact_query_sec_before"] = round(pre, 3)
+    extra["compact_query_sec_after"] = round(post, 3)
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(merged_dir), ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # -- headline contract queries at the sf dir ----------------------------
@@ -107,7 +162,10 @@ def main() -> None:
         "bench_corpus_docs": n_docs,
         "index_build_docs_per_sec": round(extra["index_build_docs_per_sec"], 1),
         "bm25_queries_per_sec": round(extra["bm25_queries_per_sec"], 1),
+        "bm25_batch_queries_per_sec": round(extra["bm25_batch_queries_per_sec"], 1),
         "wand_queries_per_sec": round(extra["wand_queries_per_sec"], 1),
+        "compact_query_sec_before": extra["compact_query_sec_before"],
+        "compact_query_sec_after": extra["compact_query_sec_after"],
     }
     shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
     spark.stop()

@@ -92,7 +92,10 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
     slim = docs.select("url")
     n = n_docs if n_docs is not None else slim.count()
     if n <= scale_threshold:
-        w = Window.orderBy("url")
+        # explicit constant partition key: one partition IS the plan here
+        # (input bounded by scale_threshold) — the lit(0) documents that
+        # and keeps the no-partition-defined warning class out of logs
+        w = Window.partitionBy(F.lit(0)).orderBy("url")
         ids = slim.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
         return docs.join(F.broadcast(ids), "url")
 
@@ -104,7 +107,8 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
                .withColumn("_off",
                            F.coalesce(
                                F.sum("_cnt").over(
-                                   Window.orderBy("_part")
+                                   # one row per range partition — tiny
+                                   Window.partitionBy(F.lit(0)).orderBy("_part")
                                    .rowsBetween(Window.unboundedPreceding, -1)),
                                F.lit(0))))
     w_in = Window.partitionBy("_part").orderBy("url")

@@ -12,12 +12,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Strong references on purpose: JVM cache blocks are freed only by an
+# explicit unpersist (Python GC of the handle does NOT release them), so
+# a weak registry would silently lose the ability to free blocks. The
+# registry is bounded instead — past _MAX_REGISTERED the oldest half is
+# unpersisted eagerly (those frames belong to completed operator calls;
+# unpersist is always safe, a still-live plan just recomputes). Long-
+# lived services should still call release_cached() between jobs to
+# return executor storage promptly.
 _PERSISTED: list[DataFrame] = []
+_MAX_REGISTERED = 256
 
 
 def persist(df: DataFrame) -> DataFrame:
     """persist() a frame and register it for later bulk release."""
     df = df.persist()
+    if len(_PERSISTED) >= _MAX_REGISTERED:
+        old = _PERSISTED[: _MAX_REGISTERED // 2]
+        del _PERSISTED[: _MAX_REGISTERED // 2]
+        for frame in old:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
     _PERSISTED.append(df)
     return df
 

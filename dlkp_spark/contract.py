@@ -184,7 +184,7 @@ def q_bm25_wand_topk(spark, sf_dir):
     from dlkp_spark.query.wand import wand_topk
 
     docs = docs_for_engine(spark, sf_dir, tagged=False)
-    d = tempfile.mkdtemp(prefix="wandidx_")
+    d = _staging_dir("wandidx_")
     build_index(spark, docs, d,
                 cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
                 n_shards=2, resume=False)
@@ -483,6 +483,23 @@ FROM top WHERE rn <= 3 GROUP BY doc_id
 """
 
 
+_STAGING_DIRS: list[str] = []
+
+
+def _staging_dir(prefix: str) -> str:
+    """tempdir for source round-trip queries, removed at process exit —
+    repeated driver runs must not leak copies of the documents table."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _STAGING_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _STAGING_DIRS])
+    _STAGING_DIRS.append(d)
+    return d
+
+
 def q_source_json(spark, sf_dir):
     """S2 source parity (reference datasets/extraction.py:62-74 extension
     dispatch): round-trip the documents table through a JSON-lines file,
@@ -490,7 +507,7 @@ def q_source_json(spark, sf_dir):
     from dlkp_spark.corpus import load_table
 
     ensure_shipped(spark)
-    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "docs.json")
+    out = os.path.join(_staging_dir("src_json_"), "docs.json")
     _docs(spark, sf_dir).select("doc_id", "lang", "n_chars") \
         .coalesce(1).write.mode("overwrite").json(out)
     d = load_table(spark, out)
@@ -511,7 +528,7 @@ def q_source_csv(spark, sf_dir):
     from dlkp_spark.corpus import load_table
 
     ensure_shipped(spark)
-    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "docs.csv")
+    out = os.path.join(_staging_dir("src_csv_"), "docs.csv")
     _docs(spark, sf_dir).select("doc_id", "source", "n_chars") \
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     d = load_table(spark, out, schema="doc_id long, source string, n_chars long")
@@ -575,7 +592,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     deterministic (murmur3 fixed seeds), and at these parameters (64
     hashes, 8 bands of r=8) it achieves full recall on the testdata, so
     the verified output must equal the exact pair set — any dropped
-    candidate bucket or hash drift fails the driver gate."""
+    candidate bucket or hash drift fails the driver gate.
+
+    PRECONDITION (testdata-version-pinned): the gate's premise is
+    measured recall 1.0 at these knobs on the CURRENT driver testdata.
+    LSH recall < 1 is by design — if the driver regenerates testdata
+    with a different seed/scale and this entry starts hash-failing,
+    diagnose as a knob/testdata recall change, not an engine bug."""
     from dlkp_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
@@ -725,7 +748,10 @@ def q_knn_lsh(spark, sf_dir):
     ANN result must be rank-identical to exact — a recall regression fails
     the driver gate. The testdata embeddings are random gaussians (near-
     equidistant neighbors — the hardest case for LSH); production knobs
-    trade recall for scan fraction, here they're pinned for full recall."""
+    trade recall for scan fraction, here they're pinned for full recall.
+    PRECONDITION: recall 1.0 is a measured property of the CURRENT
+    testdata — on regenerated testdata a hash failure here means the
+    pinned knobs' recall changed, not that the engine regressed."""
     from dlkp_spark.pipeline.similarity import lsh_cosine_topk
 
     ensure_shipped(spark)
@@ -738,7 +764,8 @@ def q_knn_lsh(spark, sf_dir):
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN top-k; oracle = exact top-k SQL (see q_knn_lsh). At
     (8 centroids, 6 probes) the probed cells contain the true top-10 on
-    the testdata (measured: 75% candidate fraction, recall 1.0)."""
+    the testdata (measured: 75% candidate fraction, recall 1.0 — same
+    testdata-version-pinned precondition as q_knn_lsh)."""
     from dlkp_spark.pipeline.similarity import ivf_cosine_topk
 
     ensure_shipped(spark)
@@ -843,11 +870,16 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # the stand-in payload is utf-8 of the (pure-ASCII) text column, so byte ==
-# codepoint and the byte histogram is expressible over characters in SQL
+# codepoint and the byte histogram is expressible over characters in SQL.
+# Empty-text guard: DuckDB string_split('', '') yields one '' element
+# (bin 0 / top_frac 1.0) where the Spark kernel sees zero bytes — the ch
+# CTE excludes empty docs and the LEFT JOIN restores them with the
+# kernel's zero-byte feature values.
 SQL_MULTIMODAL_FEATURES = """
 WITH ch AS (
   SELECT doc_id, ascii(c.c) >> 4 AS bin
   FROM documents, unnest(string_split(text, '')) AS c(c)
+  WHERE length(text) > 0
 ),
 hist AS (SELECT doc_id, bin, count(*) AS cnt FROM ch GROUP BY 1, 2),
 top AS (
@@ -857,10 +889,10 @@ top AS (
   FROM hist
 )
 SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
-       CAST(t.top_bin AS INTEGER) AS top_bin,
-       round(t.top_cnt / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS top_frac,
-       CAST(t.n_bins_used AS INTEGER) AS n_bins_used
-FROM documents d JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
+       CAST(COALESCE(t.top_bin, 0) AS INTEGER) AS top_bin,
+       round(COALESCE(t.top_cnt, 0) / CAST(greatest(length(d.text), 1) AS DOUBLE), 6) AS top_frac,
+       CAST(COALESCE(t.n_bins_used, 0) AS INTEGER) AS n_bins_used
+FROM documents d LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
 """
 
 

@@ -57,6 +57,15 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
     m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}
+    if replay and n != int(batches[str(batch_id)]["n"]):
+        # retry semantics assume a replayed batch carries identical data;
+        # a different row count would make this batch's [base, base+n)
+        # doc-id range overlap its successor's — fail loudly instead of
+        # silently corrupting the id space
+        raise ValueError(
+            f"replay of batch {batch_id} produced {n} rows but the ingest "
+            f"manifest recorded {batches[str(batch_id)]['n']} — replayed "
+            "micro-batches must be byte-identical to the original")
     batches[str(batch_id)] = {"base": base, "n": n}
     m["batches"] = batches
     if not replay:
