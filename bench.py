@@ -63,8 +63,9 @@ def main() -> None:
         from dlkp_spark.cache import release_cached
         d = tempfile.mkdtemp(prefix="bench_idx_")
         t0 = time.perf_counter()
-        docs = prepare_docs(pages, validate=True)
-        build_index(spark, docs, d, cfg=cfg, n_shards=2, resume=False)
+        docs = prepare_docs(pages, validate=True, n_docs=n_docs)
+        build_index(spark, docs, d, cfg=cfg, n_shards=2, resume=False,
+                    n_docs=n_docs)
         dt = time.perf_counter() - t0
         release_cached()
         spark.catalog.clearCache()
@@ -110,8 +111,8 @@ def main() -> None:
 
     frag_cfg = IndexConfig(segment_docs=256, block_size=64, n_term_partitions=cpus)
     frag_dir = tempfile.mkdtemp(prefix="bench_frag_")
-    build_index(spark, prepare_docs(pages, validate=False), frag_dir,
-                cfg=frag_cfg, n_shards=1, resume=False)
+    build_index(spark, prepare_docs(pages, validate=False, n_docs=n_docs),
+                frag_dir, cfg=frag_cfg, n_shards=1, resume=False, n_docs=n_docs)
     spark.catalog.clearCache()
     pre = best_of_2(
         lambda: batch_topk(spark, frag_dir, queries, BM25Params(), k=10).count())

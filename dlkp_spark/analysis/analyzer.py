@@ -72,12 +72,23 @@ def analyze(web_pages: DataFrame, validate: bool = True) -> DataFrame:
 
 def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
                  n_range_parts: int | None = None,
-                 n_docs: int | None = None) -> DataFrame:
+                 n_docs: int | None = None,
+                 key_source: DataFrame | None = None) -> DataFrame:
     """Dense deterministic doc_id = rank of url (0-based).
 
     The rank is always computed on a slim ``url``-only projection (documents
     carry wide text/token/keyphrase columns — dragging them through a rank
     shuffle would dominate the build), then joined back on url.
+
+    ``key_source``: optional upstream frame carrying the SAME url set
+    (e.g. the raw web_pages scan). When ``docs`` is the output of a
+    Python inference stage, ranking ``docs.select("url")`` would either
+    re-run the whole Arrow UDF for the url projection (mapInPandas does
+    not column-prune) or force the caller to persist the wide tagged
+    frame — measured 30–50 s of cache churn at 100k docs. Ranking the
+    url column straight off the source parquet is a column-pruned
+    JVM-only scan, and the analyzer is url-preserving 1:1, so the
+    mapping is identical.
 
     Small inputs: global ``row_number() over (order by url)`` on the slim
     projection. Above ``scale_threshold`` rows a single-partition window is
@@ -89,7 +100,7 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
     """
     from pyspark.sql import Window
 
-    slim = docs.select("url")
+    slim = (key_source if key_source is not None else docs).select("url")
     n = n_docs if n_docs is not None else slim.count()
     if n <= scale_threshold:
         # explicit constant partition key: one partition IS the plan here

@@ -56,14 +56,18 @@ def prepare_docs(web_pages: DataFrame, validate: bool = True,
 
     Analyzer + tagger run FUSED in one Arrow pass and BEFORE doc-id
     assignment, so inference executes on the source partitioning and the
-    wide token arrays cross JVM↔Python exactly once. The tagged frame is
-    cached because the id pass reads it twice (count + rank + join-back).
+    wide token arrays cross JVM↔Python exactly once — and only ONCE
+    total: the doc-id rank reads the url column straight off the SOURCE
+    scan (``key_source``), not the tagged frame, so the wide
+    tokens/keyphrases arrays are neither persisted (round-2 design:
+    30–50 s of cache churn at 100k docs) nor recomputed by a second
+    inference pass.
     """
     from dlkp_spark.analysis.keyphrase import analyze_and_tag
 
-    from dlkp_spark.cache import persist as _persist
-    tagged = _persist(analyze_and_tag(web_pages, validate=validate))
-    return with_doc_ids(tagged, n_docs=n_docs)
+    tagged = analyze_and_tag(web_pages, validate=validate)
+    return with_doc_ids(tagged, n_docs=n_docs,
+                        key_source=web_pages.select("url"))
 
 
 def token_table(docs: DataFrame) -> DataFrame:
@@ -72,10 +76,17 @@ def token_table(docs: DataFrame) -> DataFrame:
     dl is the per-(doc, field) token-stream length, computed from the doc
     row itself (so docs with zero keyphrases still contribute dl=0 to
     avgdl, matching the oracle).
+
+    Two direct explodes unioned — NOT an array-of-structs staging row,
+    and NOT a concat+posexplode single pass: both alternatives allocate a
+    combined per-row array and were measured 3–4× slower than the plain
+    attribute explode (the generator stays in codegen only when its input
+    is a bare column). The union evaluates ``docs`` TWICE; for an
+    unpersisted Arrow-inference input that means the tagger runs once per
+    branch — measured CHEAPER than caching any array-carrying docs
+    projection (see build_index: the branches are parallel CPU, the cache
+    is serialized array churn).
     """
-    # Two direct explodes unioned — NOT an array-of-structs staging row,
-    # which would copy every token array before exploding it (measured:
-    # the copy + GC dominated the build at high thread counts).
     kp_tokens = F.flatten(F.transform("keyphrases", lambda kp: F.split(kp, " ")))
     body = docs.select(
         "doc_id", F.lit(FIELD_BODY).alias("field"),
@@ -251,10 +262,21 @@ def build_index(
     # wide token arrays costs more than re-scanning, and stats/df both come
     # from the token cache. ``n_docs`` is accepted as a hint to skip the
     # extra count job when the caller already knows it.
+    # Persist ONLY the slim numeric/term token table, never the docs
+    # frame: an interleaved A/B/C measurement (100k docs, local[8], same
+    # process) showed caching any array-carrying docs projection LOSES to
+    # recomputing the tagger inside token_table's two explode branches —
+    # cache serialization of string arrays costs more than the extra
+    # parallel CPU, while the token-table cache saves the encode job a
+    # full re-derivation. (A: docs+tokens persist ~50 s avg; B: nothing
+    # ~43 s; C: tokens-only ~35 s.)
     docs = docs.select("doc_id", "tokens", "keyphrases")
     tokens = token_table(docs).withColumn(
         "segment", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")).persist()
     if n_docs is None:
+        # NB: re-evaluates the docs plan (for prepare_docs output that is
+        # an extra Arrow tagger pass) — callers that know the corpus size
+        # should pass n_docs; every engine-internal caller does
         n_docs = docs.select("doc_id").count()
     stats = stats_from_tokens(tokens, n_docs)
     mf.write_global(index_dir, "stats.json", {

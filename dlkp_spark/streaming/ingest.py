@@ -47,13 +47,16 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
         if isinstance(m.get("batches"), dict) else {}
     replay = str(batch_id) in batches
     base = int(batches[str(batch_id)]["base"]) if replay else int(m["next_doc_id"])
-    docs = prepare_docs(pages, validate=False).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(base))
-    n = docs.count()
+    # row count from the RAW batch (cheap scan): prepare_docs is 1:1 on
+    # rows and no longer persists, so counting its output would run the
+    # Arrow tagger an extra time per micro-batch
+    n = pages.count()
     if n == 0:
         return 0
+    docs = prepare_docs(pages, validate=False, n_docs=n).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base))
     sub_dir = os.path.join(index_dir, "stream", f"batch={batch_id}")
-    build_index(spark, docs, sub_dir, cfg=cfg, n_shards=1, resume=False)
+    build_index(spark, docs, sub_dir, cfg=cfg, n_shards=1, resume=False, n_docs=n)
     m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}

@@ -60,9 +60,13 @@ def main() -> None:
     cfg = IndexConfig(
         segment_docs=args.segment_docs, block_size=args.block_size,
         n_term_partitions=args.term_partitions or spark.sparkContext.defaultParallelism)
-    docs = prepare_docs(pages, validate=args.validate)
+    # count the RAW pages (column-pruned scan / metadata) so the tagger
+    # never runs an extra pass just to learn the corpus size
+    n_docs = pages.count()
+    docs = prepare_docs(pages, validate=args.validate, n_docs=n_docs)
     metrics = build_index(spark, docs, args.output, cfg=cfg,
-                          n_shards=args.shards, resume=args.resume)
+                          n_shards=args.shards, resume=args.resume,
+                          n_docs=n_docs)
     print(json.dumps(metrics))
     spark.stop()
 
