@@ -19,6 +19,7 @@ shipped via closure/broadcast, never per-row Python.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -30,7 +31,13 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def _tok_hash(tok: str) -> int:
+    # memoized: token occurrences are Zipf-distributed over a small
+    # vocabulary, so the hit rate in a real corpus is ~100% — this is the
+    # per-token hot path of the stand-in model (a real transformer would
+    # amortize differently: per-batch GPU forward). Identical outputs,
+    # pure function.
     return int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
 
 
