@@ -103,28 +103,33 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
     slim = (key_source if key_source is not None else docs).select("url")
     n = n_docs if n_docs is not None else slim.count()
     if n <= scale_threshold:
-        # explicit constant partition key: one partition IS the plan here
-        # (input bounded by scale_threshold) — the lit(0) documents that
-        # and keeps the no-partition-defined warning class out of logs
-        w = Window.partitionBy(F.lit(0)).orderBy("url")
-        ids = slim.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        # one partition IS the plan here (input bounded by
+        # scale_threshold): coalesce(1) + in-partition sort +
+        # monotonically_increasing_id (sequential 0..n-1 inside the single
+        # partition) — identical execution shape to a bare rank window
+        # without WindowExec's single-partition funnel (a constant
+        # partitionBy key would just fold away and warn)
+        ids = (slim.coalesce(1).sortWithinPartitions("url")
+               .withColumn("doc_id", F.monotonically_increasing_id().cast("long")))
         return docs.join(F.broadcast(ids), "url")
 
     parts = n_range_parts or docs.sparkSession.sparkContext.defaultParallelism * 2
     from dlkp_spark.cache import persist as _persist
     ranged = _persist(slim.repartitionByRange(parts, "url").withColumn(
         "_part", F.spark_partition_id()))
-    offsets = (ranged.groupBy("_part").agg(F.count("*").alias("_cnt"))
-               .withColumn("_off",
-                           F.coalesce(
-                               F.sum("_cnt").over(
-                                   # one row per range partition — tiny
-                                   Window.partitionBy(F.lit(0)).orderBy("_part")
-                                   .rowsBetween(Window.unboundedPreceding, -1)),
-                               F.lit(0))))
+    # per-partition offsets: one count row per range partition — prefix-
+    # summed DRIVER-side (O(#partitions) metadata, the documented serial
+    # budget) instead of a no-partition cumulative window
+    cnt_rows = (ranged.groupBy("_part").agg(F.count("*").alias("_cnt")).collect())
+    acc = 0
+    offs = []
+    for r in sorted(cnt_rows, key=lambda r: r["_part"]):
+        offs.append((int(r["_part"]), acc))
+        acc += int(r["_cnt"])
+    offsets = docs.sparkSession.createDataFrame(offs, "_part int, _off long")
     w_in = Window.partitionBy("_part").orderBy("url")
     ids = (ranged.withColumn("_rn", F.row_number().over(w_in).cast("long"))
-           .join(F.broadcast(offsets.select("_part", "_off")), "_part")
+           .join(F.broadcast(offsets), "_part")
            .withColumn("doc_id", F.col("_off") + F.col("_rn") - 1)
            .select("url", "doc_id"))
     return docs.join(ids, "url")

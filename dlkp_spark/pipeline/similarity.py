@@ -45,8 +45,11 @@ def brute_cosine_topk(embs: DataFrame, query_vec: list[float], k: int = 10,
     scored = with_cosine(embs, query_vec, vec_col)
     top = (scored.select(F.col(id_col).alias("vec_id"), "cosine")
            .orderBy(F.col("cosine").desc(), "vec_id").limit(k))
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cosine").desc(), "vec_id")
-    return (top.withColumn("rank", F.row_number().over(w))
+    # rank the surviving <=k rows without any WindowExec: one partition,
+    # in-partition sort, sequential monotonically_increasing_id
+    return (top.coalesce(1)
+            .sortWithinPartitions(F.col("cosine").desc(), "vec_id")
+            .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
             .select("rank", "vec_id", F.round("cosine", 6).alias("cosine")))
 
 

@@ -101,10 +101,9 @@ def test_brute_cosine_topk_has_no_global_sort_or_bare_window(spark):
     df = brute_cosine_topk(embs, [float(x) for x in rng.standard_normal(8)], k=5)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan
-    # the only Sort allowed is the k-row window sort AFTER the take
-    for ln in plan.splitlines():
-        if "Window" in ln and "windowspecdefinition" in ln:
-            assert "Window []" not in ln  # no empty partition spec
+    # rank assignment must not use WindowExec at all (a bare or folded
+    # partition spec funnels the full input through one partition)
+    assert "Window" not in plan, plan
     assert df.count() == 5
 
 
