@@ -116,10 +116,15 @@ def main() -> None:
     spark.catalog.clearCache()
     pre = best_of_2(
         lambda: batch_topk(spark, frag_dir, queries, BM25Params(), k=10).count())
+    # factor=2 (79 → 40 segments), NOT a deeper merge: batch_topk
+    # parallelizes by segment, so compacting below ~#cores groups trades
+    # decode overhead for lost parallelism (measured: 79→10 segments on
+    # 32 cores made the after-query SLOWER in some windows). The scale
+    # rule: compaction must keep #segments >> cluster parallelism.
     merged_dir = tempfile.mkdtemp(prefix="bench_merged_") + "/idx"
     t0 = time.perf_counter()
-    merge_segments(spark, frag_dir, merged_dir, factor=8, cfg=frag_cfg)
-    timings["compact_merge8"] = time.perf_counter() - t0
+    merge_segments(spark, frag_dir, merged_dir, factor=2, cfg=frag_cfg)
+    timings["compact_merge"] = time.perf_counter() - t0
     post = best_of_2(
         lambda: batch_topk(spark, merged_dir, queries, BM25Params(), k=10).count())
     extra["compact_query_sec_before"] = round(pre, 3)

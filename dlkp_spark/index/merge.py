@@ -34,6 +34,13 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    factor: int = 2, cfg: IndexConfig | None = None) -> dict:
     """Compact: segment' = segment // factor. Returns merge metrics.
 
+    Pick ``factor`` so the OUTPUT segment count stays well above the
+    cluster's parallelism: query kernels (batch_topk/wand_topk) fan out
+    one task per segment, so over-compacting trades per-list decode
+    overhead for lost parallel granularity (measured on 32 local cores:
+    79→10 segments made the post-compaction batch query slower in some
+    runs; 79→40 keeps every core busy AND halves per-list overhead).
+
     When no cfg is given, the re-encode inherits the SOURCE index's
     block_size (from its stats.json) rather than IndexConfig()'s default —
     the written stats always carry the block_size the blocks were actually
