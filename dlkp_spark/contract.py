@@ -684,6 +684,57 @@ FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 SQL_SIMHASH_FP_PAIRS = _sql_simhash_fp_pairs()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering (the dedup pipeline's last step): connected
+    components over the exact n-gram-Jaccard pair graph, cluster_id =
+    component-minimum doc id, singletons included. The engine runs
+    Pregel-style min-label propagation (one uniform-key shuffle-join per
+    round, converges in O(component diameter)); DuckDB replays it with a
+    recursive CTE — transitive-closure drift, lost singletons, or a
+    non-minimal canonical id all fail the hash."""
+    from dlkp_spark.pipeline.cluster import dedup_clusters
+    from dlkp_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, n=3)
+    return dedup_clusters(d, pairs)
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH pairs AS (
+  SELECT a, b FROM (
+    WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM l
+    ),
+    e AS (SELECT doc_id, len(shingles) AS n_sh, s.sh FROM sh, unnest(shingles) AS s(sh))
+    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+           count(*)::DOUBLE AS inter
+    FROM e x JOIN e y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE inter / (na + nb - inter) >= 0.2
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(doc, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.doc
+  )
+  SELECT doc, lab FROM r
+)
+SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
 def q_embed_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact variant; the LSH-bucketed
     scale path is pipeline/similarity.embedding_cosine_pairs_lsh, pytest-
@@ -1055,6 +1106,7 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
     "simhash_fp_pairs": (q_simhash_fp_pairs, SQL_SIMHASH_FP_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embed_cosine_pairs": (q_embed_cosine_pairs, SQL_EMBED_COSINE_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, SQL_KNN_COSINE),
