@@ -1037,6 +1037,37 @@ FROM documents GROUP BY 1
 """
 
 
+SAMPLE_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source corpus downsampling (the training-mix
+    knob): keep iff hash(doc_id) < fraction(source)·(2^31−1), pure
+    integer arithmetic shared with the oracle — partition-invariant, no
+    RNG, nested samples across fractions. Returns the sampled rows so
+    the gate checks the exact kept SET, not just counts."""
+    from dlkp_spark.pipeline.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(d, SAMPLE_FRACS, default=0.1)
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(f * 2147483647)}"
+        for g, f in sorted(SAMPLE_FRACS.items()))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ((((doc_id % 2147483647) * 1000003 + 12345) % 2147483647
+        * 131071 + 54321) % 2147483647
+       * 8191 + 2029) % 2147483647
+      < CASE {cases} ELSE {int(0.1 * 2147483647)} END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 def q_split_percent(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bucket = (F.when(F.pmod("doc_id", F.lit(100)) < 80, "train")
@@ -1122,6 +1153,7 @@ QUERIES = {
     "topk_orders_per_cust": (q_topk_orders_per_cust, SQL_TOPK_ORDERS_PER_CUST),
     "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),
     "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),
     "limit_top_chars": (q_limit_top_chars, SQL_LIMIT_TOP_CHARS),
     "confidence_agg": (q_confidence_agg, SQL_CONFIDENCE_AGG),

@@ -1,0 +1,105 @@
+"""Corpus sampling and sequence packing for LLM training-data pipelines.
+
+``stratified_sample``: per-group deterministic downsampling — the corpus
+mixing knob (keep 10% of crawl, 100% of curated, ...). Selection is a
+pure integer hash of the ROW ID, so it is partition-invariant,
+reproducible across runs/clusters, and exactly replayable in ANSI SQL
+(the oracle-gate): no rand(), no sampleBy's RNG.
+
+``pack_sequences``: greedy first-fit-decreasing packing of documents
+into fixed token-budget bins (sequence packing for transformer
+training). Packing is inherently a per-partition imperative fold —
+implemented as a sorted mapInPandas kernel with partition-scoped bin
+ids; global bin ids never need coordination (partition_id is the high
+bits). Invariants (no bin over budget unless a single doc exceeds it,
+every doc packed exactly once, determinism for a fixed partitioning)
+are pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = 2147483647  # 2^31 - 1, same integer field as textstats.doc_fingerprint
+
+
+def _id_hash(id_col):
+    """Three rounds of (x·a + c) mod (2^31−1): one round has no
+    avalanche for ids below ~2^31/a (no modular wrap → hash ≈ id·a,
+    catastrophically biased on small corpora); rounds 2–3 wrap every
+    value. Max intermediate (P−1)·a < 2^52 — exact in both Spark and
+    DuckDB int64, no overflow, no platform hash."""
+    x = F.col(id_col) % _P
+    x = (x * 1000003 + 12345) % _P
+    x = (x * 131071 + 54321) % _P
+    return (x * 8191 + 2029) % _P
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      group_col: str = "source", id_col: str = "doc_id",
+                      default: float = 0.0) -> DataFrame:
+    """Keep each row iff hash(id) < fraction(group) · (2^31-1).
+
+    One scan, no shuffle, no RNG state: the filter pushes into the scan
+    and the kept set for a group is a fixed subset — growing a fraction
+    strictly grows its sample (nested samples, useful for scaling-law
+    runs). Groups absent from ``fractions`` keep ``default`` share.
+    """
+    thresh = F.lit(int(default * _P))
+    for g, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(group_col) == g, F.lit(int(frac * _P))) \
+            .otherwise(thresh)
+    return docs.filter(_id_hash(id_col) < thresh)
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   len_col: str = "n_tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(bin_id, doc_id, n_tokens, bin_fill) — first-fit-decreasing
+    packing into ``budget``-token bins, per partition.
+
+    Sort within each partition by length desc (FFD ≥ 8/9·OPT bin count
+    for classical bin packing), then a linear first-fit fold in the
+    Arrow kernel. A doc longer than ``budget`` gets a bin of its own
+    (truncation is the tokenizer's job, not the packer's). bin_id =
+    partition_id·2^40 + local index — globally unique without any
+    cross-partition coordination; at 10^12 docs packing stays fully
+    parallel and the only data movement is whatever partitioning the
+    caller chose upstream.
+    """
+    slim = (docs.select(id_col, len_col)
+            .sortWithinPartitions(F.col(len_col).desc(), id_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        fills: list[int] = []  # bin -> tokens used
+        out_bin, out_id, out_len = [], [], []
+        # buffer the whole partition (slim 2-column rows) and emit once:
+        # bin_fill must be each bin's FINAL fill, and later Arrow batches
+        # keep adding to bins opened by earlier ones
+        for pdf in batches:
+            for did, n in zip(pdf[id_col], pdf[len_col]):
+                n = int(n)
+                for b, used in enumerate(fills):
+                    if used + n <= budget:
+                        fills[b] = used + n
+                        break
+                else:
+                    b = len(fills)
+                    fills.append(n)
+                out_bin.append((pid << 40) | b)
+                out_id.append(int(did))
+                out_len.append(n)
+        yield pd.DataFrame({"bin_id": out_bin, "doc_id": out_id,
+                            "n_tokens": out_len,
+                            "bin_fill": [fills[b & ((1 << 40) - 1)]
+                                         for b in out_bin]})
+
+    return slim.mapInPandas(
+        kernel, "bin_id long, doc_id long, n_tokens long, bin_fill long")

@@ -1,0 +1,67 @@
+"""Stratified sampling determinism/nesting + sequence-packing invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlkp_spark.pipeline.sampling import pack_sequences, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"g{i % 3}", 1 + (i * 37) % 400) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int") \
+        .repartition(6, "doc_id").persist()
+
+
+def test_sample_partition_invariant_and_fractions(spark, docs):
+    fr = {"g0": 0.5, "g1": 1.0, "g2": 0.0}
+    a = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(13), fr).collect()}
+    assert a == b  # hash of the row id — partitioning cannot change the set
+    by_g = {g: [r for r in a if r % 3 == int(g[1])] for g in fr}
+    assert len(by_g["g1"]) == 200      # fraction 1.0 keeps everything
+    assert len(by_g["g2"]) == 0        # fraction 0 keeps nothing
+    assert 60 <= len(by_g["g0"]) <= 140  # ~50% of 200, hash-binomial
+
+
+def test_samples_are_nested_across_fractions(spark, docs):
+    small = {r["doc_id"] for r in
+             stratified_sample(docs, {"g0": 0.2}, default=0.0).collect()}
+    large = {r["doc_id"] for r in
+             stratified_sample(docs, {"g0": 0.6}, default=0.0).collect()}
+    assert small <= large  # growing the fraction only ADDS rows
+
+
+def test_packing_invariants(spark, docs):
+    budget = 512
+    out = pack_sequences(docs, budget=budget).collect()
+    assert len(out) == 600  # every doc packed exactly once
+    assert len({r["doc_id"] for r in out}) == 600
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    for b, fill in fills.items():
+        members = [r for r in out if r["bin_id"] == b]
+        if len(members) > 1:
+            assert fill <= budget  # multi-doc bins never exceed budget
+        # bin_fill column agrees with the recomputed fill
+        assert all(r["bin_fill"] == fill for r in members)
+    # FFD packs reasonably tight: total bins within 2x of the LP bound
+    total_tokens = sum(r["n_tokens"] for r in out)
+    assert len(fills) <= 2 * (total_tokens // budget + docs.rdd.getNumPartitions())
+
+
+def test_packing_deterministic_for_fixed_partitioning(spark, docs):
+    a = sorted(map(tuple, pack_sequences(docs, budget=512).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, budget=512).collect()))
+    assert a == b
+
+
+def test_oversized_doc_gets_own_bin(spark):
+    docs = spark.createDataFrame(
+        [(1, "g", 5000), (2, "g", 100), (3, "g", 100)],
+        "doc_id long, source string, n_tokens int").coalesce(1)
+    out = {r["doc_id"]: r for r in pack_sequences(docs, budget=512).collect()}
+    assert out[1]["bin_fill"] == 5000  # alone in its bin
+    assert out[2]["bin_id"] == out[3]["bin_id"] != out[1]["bin_id"]
