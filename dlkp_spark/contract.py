@@ -830,6 +830,80 @@ def q_knn_ivf(spark, sf_dir):
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_curate_corpus(spark, sf_dir):
+    """END-TO-END curation chain gate (pipeline/curate.py): language
+    gate → quality gate → exact-dedup keeper → transitive near-dup
+    cluster keeper → deterministic stratified downsample, one composed
+    plan. Each stage is also individually oracle-gated; this entry
+    pins the COMPOSITION (stage order changes which duplicate survives
+    and which rows the sampler sees — a reordering passes unit gates
+    but fails this hash)."""
+    from dlkp_spark.pipeline.curate import curate_corpus
+
+    d = _docs(spark, sf_dir)
+    return curate_corpus(d, languages=("en",), min_tokens=5,
+                         max_stopword_ratio=0.9, jaccard_threshold=0.3,
+                         default_fraction=0.6).select("doc_id")
+
+
+def _sql_curate_corpus() -> str:
+    en = _sql_marker_count(["the", "and", "of", "data", "query"])
+    de = _sql_marker_count(["der", "und", "nicht"])
+    fr = _sql_marker_count(["le", "les", "est"])
+    sw = ("len(list_filter(string_split(lower(text), ' '), "
+          "t -> t IN ('the','a','of','and','to','in','is','it')))")
+    ntok = "len(string_split(lower(text), ' '))"
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {en} >= {de} AND {en} >= {fr}
+    AND {ntok} >= 5
+    AND round({sw} / CAST({ntok} AS DOUBLE), 6) <= 0.9
+),
+keeper AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM keeper)
+),
+e AS (SELECT doc_id, len(shingles) AS n_sh, s.sh FROM sh, unnest(shingles) AS s(sh)),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+           count(*)::DOUBLE AS inter
+    FROM e x JOIN e y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE inter / (na + nb - inter) >= 0.3
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(doc, lab) AS (
+    SELECT doc_id, doc_id FROM keeper
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.doc
+  )
+  SELECT doc, min(lab) AS cluster_id FROM r GROUP BY doc
+),
+canon AS (
+  SELECT k.doc_id FROM keeper k
+  JOIN reach ON reach.doc = k.doc_id AND reach.cluster_id = k.doc_id
+)
+SELECT doc_id FROM canon
+WHERE ((((doc_id % 2147483647) * 1000003 + 12345) % 2147483647
+        * 131071 + 54321) % 2147483647
+       * 8191 + 2029) % 2147483647 < {int(0.6 * 2147483647)}
+"""
+
+
 def q_langid(spark, sf_dir):
     from dlkp_spark.pipeline.textstats import langid
 
@@ -850,6 +924,8 @@ SELECT doc_id,
        THEN 'de' ELSE 'fr' END AS pred_lang
 FROM documents
 """
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
 
 
 def q_quality_features(spark, sf_dir):
@@ -1138,6 +1214,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, None),
     "simhash_fp_pairs": (q_simhash_fp_pairs, SQL_SIMHASH_FP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "embed_cosine_pairs": (q_embed_cosine_pairs, SQL_EMBED_COSINE_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_lsh": (q_knn_lsh, SQL_KNN_COSINE),
