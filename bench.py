@@ -83,9 +83,12 @@ def main() -> None:
     queries = reference_query_set(n_queries=200)
     big_queries = reference_query_set(n_queries=2000)
 
-    def best_of_2(fn):
+    def best_of(fn, n=3):
+        # best-of-3 for the cheap query metrics (seconds each): a single
+        # host-steal spike contaminated BOTH runs of a best-of-2 in one
+        # recorded window (wand 24.9 s vs its 4–8 s isolation range)
         b = None
-        for _ in range(2):
+        for _ in range(n):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -93,14 +96,14 @@ def main() -> None:
             spark.catalog.clearCache()
         return b
 
-    timings["bm25_batch_200q"] = best_of_2(
+    timings["bm25_batch_200q"] = best_of(
         lambda: batch_topk(spark, idx_dir, queries, BM25Params(), k=10).count())
     extra["bm25_queries_per_sec"] = len(queries) / timings["bm25_batch_200q"]
-    timings["bm25_batch_2000q"] = best_of_2(
+    timings["bm25_batch_2000q"] = best_of(
         lambda: batch_topk(spark, idx_dir, big_queries, BM25Params(), k=10).count())
     extra["bm25_batch_queries_per_sec"] = (
         len(big_queries) / timings["bm25_batch_2000q"])
-    timings["wand_20q"] = best_of_2(
+    timings["wand_20q"] = best_of(
         lambda: wand_topk(spark, idx_dir, queries[:20], BM25Params(), k=10).count())
     extra["wand_queries_per_sec"] = 20 / timings["wand_20q"]
 
@@ -114,7 +117,7 @@ def main() -> None:
     build_index(spark, prepare_docs(pages, validate=False, n_docs=n_docs),
                 frag_dir, cfg=frag_cfg, n_shards=1, resume=False, n_docs=n_docs)
     spark.catalog.clearCache()
-    pre = best_of_2(
+    pre = best_of(
         lambda: batch_topk(spark, frag_dir, queries, BM25Params(), k=10).count())
     # factor=2 (79 → 40 segments), NOT a deeper merge: batch_topk
     # parallelizes by segment, so compacting below ~#cores groups trades
@@ -125,7 +128,7 @@ def main() -> None:
     t0 = time.perf_counter()
     merge_segments(spark, frag_dir, merged_dir, factor=2, cfg=frag_cfg)
     timings["compact_merge"] = time.perf_counter() - t0
-    post = best_of_2(
+    post = best_of(
         lambda: batch_topk(spark, merged_dir, queries, BM25Params(), k=10).count())
     extra["compact_query_sec_before"] = round(pre, 3)
     extra["compact_query_sec_after"] = round(post, 3)
@@ -142,12 +145,12 @@ def main() -> None:
                 "tag_metrics", "generation_topk"]
     for name in headline:
         fn, _sql = contract.QUERIES[name]
-        # best-of-2: the shared host shows CPU-steal spikes that can 3×
+        # best-of-3: the shared host shows CPU-steal spikes that can 3×
         # a single measurement (documented in BASELINE.md); min time is
-        # the standard contention-robust estimator. Second run is NOT a
-        # cache hit: the catalog cache is cleared between runs.
+        # the standard contention-robust estimator. Repeats are NOT
+        # cache hits: the catalog cache is cleared between runs.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
