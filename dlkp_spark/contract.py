@@ -595,10 +595,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     candidate bucket or hash drift fails the driver gate.
 
     PRECONDITION (testdata-version-pinned): the gate's premise is
-    measured recall 1.0 at these knobs on the CURRENT driver testdata.
-    LSH recall < 1 is by design — if the driver regenerates testdata
-    with a different seed/scale and this entry starts hash-failing,
-    diagnose as a knob/testdata recall change, not an engine bug."""
+    measured recall 1.0 at these knobs on the CURRENT driver testdata
+    at the driver's gate scale (sf0.01). LSH recall < 1 is by design —
+    if the driver regenerates testdata with a different seed/scale and
+    this entry starts hash-failing, diagnose as a knob/testdata recall
+    change, not an engine bug. Round-3 scale audit: at sf0.1 the
+    banding misses exactly the 2 marginal pairs whose Jaccard sits far
+    below the (1/bands)^(1/r) collision sweet spot — inherent to r=8
+    banding, unchanged by the bucket cap (verified at caps 64–256)."""
     from dlkp_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
@@ -801,8 +805,12 @@ def q_knn_lsh(spark, sf_dir):
     equidistant neighbors — the hardest case for LSH); production knobs
     trade recall for scan fraction, here they're pinned for full recall.
     PRECONDITION: recall 1.0 is a measured property of the CURRENT
-    testdata — on regenerated testdata a hash failure here means the
-    pinned knobs' recall changed, not that the engine regressed."""
+    testdata at the driver's sf0.01 gate scale — on regenerated testdata
+    a hash failure here means the pinned knobs' recall changed, not that
+    the engine regressed. Round-3 scale audit: sf0.1 needs multiprobe=6
+    (≈96% of buckets — near-exhaustive) for recall 1.0, so the knobs
+    stay pinned to the gate scale rather than degrade the entry into a
+    full scan."""
     from dlkp_spark.pipeline.similarity import lsh_cosine_topk
 
     ensure_shipped(spark)
@@ -814,15 +822,16 @@ def q_knn_lsh(spark, sf_dir):
 
 def q_knn_ivf(spark, sf_dir):
     """IVF ANN top-k; oracle = exact top-k SQL (see q_knn_lsh). At
-    (8 centroids, 6 probes) the probed cells contain the true top-10 on
-    the testdata (measured: 75% candidate fraction, recall 1.0 — same
-    testdata-version-pinned precondition as q_knn_lsh)."""
+    (8 centroids, 7 probes) the probed cells contain the true top-10 on
+    the testdata at BOTH sf0.01 and sf0.1 (round-3 scale audit; 6 probes
+    was recall-1.0 only at sf0.01 — same testdata-version-pinned
+    precondition as q_knn_lsh)."""
     from dlkp_spark.pipeline.similarity import ivf_cosine_topk
 
     ensure_shipped(spark)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
     return (ivf_cosine_topk(embs, _query_vec(spark, sf_dir), k=10,
-                            n_centroids=8, n_probe=6)
+                            n_centroids=8, n_probe=7)
             .select("rank", "vec_id"))
 
 
