@@ -1153,6 +1153,49 @@ WHERE ((((doc_id % 2147483647) * 1000003 + 12345) % 2147483647
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+PACK_BUDGET = 256
+
+
+def q_pack_nextfit(spark, sf_dir):
+    """Oracle-gated sequence packing (the bio_extract pattern applied to
+    the packer): the REAL Arrow packing kernel runs in next-fit mode
+    over a deterministic single-partition doc_id order, and DuckDB
+    replays the row-by-row fold with a recursive CTE — any drift in the
+    kernel's bin bookkeeping, overflow handling, or fill accounting
+    fails the hash. The production FFD strategy shares every line of the
+    kernel except the bin-selection branch (pytest-pinned)."""
+    from dlkp_spark.pipeline.sampling import pack_sequences
+
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.size(_toks()).alias("n_tokens"))
+         .coalesce(1).sortWithinPartitions("doc_id"))
+    out = pack_sequences(d, budget=PACK_BUDGET, strategy="nextfit")
+    return out.select("bin_id", "doc_id", "n_tokens", "bin_fill")
+
+
+SQL_PACK_NEXTFIT = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+),
+fold(rn, doc_id, n_tokens, bin, fill) AS (
+  SELECT rn, doc_id, n_tokens, 0, n_tokens FROM d WHERE rn = 1
+  UNION ALL
+  SELECT nxt.rn, nxt.doc_id, nxt.n_tokens,
+         CASE WHEN f.fill + nxt.n_tokens <= {PACK_BUDGET}
+              THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.fill + nxt.n_tokens <= {PACK_BUDGET}
+              THEN f.fill + nxt.n_tokens ELSE nxt.n_tokens END
+  FROM fold f JOIN d nxt ON nxt.rn = f.rn + 1
+)
+SELECT CAST(bin AS BIGINT) AS bin_id, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(max(fill) OVER (PARTITION BY bin) AS BIGINT) AS bin_fill
+FROM fold
+"""
+
+
 def q_split_percent(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bucket = (F.when(F.pmod("doc_id", F.lit(100)) < 80, "train")
@@ -1240,6 +1283,7 @@ QUERIES = {
     "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),
     "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),
     "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),
     "limit_top_chars": (q_limit_top_chars, SQL_LIMIT_TOP_CHARS),
     "confidence_agg": (q_confidence_agg, SQL_CONFIDENCE_AGG),

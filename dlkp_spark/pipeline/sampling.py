@@ -58,21 +58,31 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
 
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    len_col: str = "n_tokens",
-                   id_col: str = "doc_id") -> DataFrame:
-    """(bin_id, doc_id, n_tokens, bin_fill) — first-fit-decreasing
-    packing into ``budget``-token bins, per partition.
+                   id_col: str = "doc_id",
+                   strategy: str = "ffd") -> DataFrame:
+    """(bin_id, doc_id, n_tokens, bin_fill) — packing into
+    ``budget``-token bins, per partition.
 
-    Sort within each partition by length desc (FFD ≥ 8/9·OPT bin count
-    for classical bin packing), then a linear first-fit fold in the
-    Arrow kernel. A doc longer than ``budget`` gets a bin of its own
-    (truncation is the tokenizer's job, not the packer's). bin_id =
-    partition_id·2^40 + local index — globally unique without any
-    cross-partition coordination; at 10^12 docs packing stays fully
-    parallel and the only data movement is whatever partitioning the
-    caller chose upstream.
+    strategy='ffd' (production): sort within each partition by length
+    desc (FFD ≥ 8/9·OPT bin count for classical bin packing), then a
+    linear first-fit fold in the Arrow kernel. strategy='nextfit': keep
+    the caller's row order and only ever append to the LAST bin — the
+    SQL-replayable variant (a recursive CTE can fold it row by row),
+    used by the oracle-gated contract entry to hash-check the packer's
+    Arrow plumbing end-to-end (the bio_extract gating pattern).
+
+    A doc longer than ``budget`` gets a bin of its own (truncation is
+    the tokenizer's job, not the packer's). bin_id = partition_id·2^40 +
+    local index — globally unique without any cross-partition
+    coordination; at 10^12 docs packing stays fully parallel and the
+    only data movement is whatever partitioning the caller chose
+    upstream.
     """
-    slim = (docs.select(id_col, len_col)
-            .sortWithinPartitions(F.col(len_col).desc(), id_col))
+    if strategy not in ("ffd", "nextfit"):
+        raise ValueError(strategy)
+    slim = docs.select(id_col, len_col)
+    if strategy == "ffd":
+        slim = slim.sortWithinPartitions(F.col(len_col).desc(), id_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -86,13 +96,21 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
         for pdf in batches:
             for did, n in zip(pdf[id_col], pdf[len_col]):
                 n = int(n)
-                for b, used in enumerate(fills):
-                    if used + n <= budget:
-                        fills[b] = used + n
-                        break
+                if strategy == "nextfit":
+                    if fills and fills[-1] + n <= budget:
+                        b = len(fills) - 1
+                        fills[b] += n
+                    else:
+                        b = len(fills)
+                        fills.append(n)
                 else:
-                    b = len(fills)
-                    fills.append(n)
+                    for b, used in enumerate(fills):
+                        if used + n <= budget:
+                            fills[b] = used + n
+                            break
+                    else:
+                        b = len(fills)
+                        fills.append(n)
                 out_bin.append((pid << 40) | b)
                 out_id.append(int(did))
                 out_len.append(n)

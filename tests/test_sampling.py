@@ -58,6 +58,24 @@ def test_packing_deterministic_for_fixed_partitioning(spark, docs):
     assert a == b
 
 
+def test_nextfit_strategy_invariants(spark, docs):
+    out = pack_sequences(docs.coalesce(1).sortWithinPartitions("doc_id"),
+                         budget=512, strategy="nextfit").collect()
+    assert len(out) == 600
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    multi = [b for b in fills
+             if sum(1 for r in out if r["bin_id"] == b) > 1]
+    assert all(fills[b] <= 512 for b in multi)
+    # next-fit is single-open-bin: bin ids are nondecreasing in row order
+    by_doc = sorted(out, key=lambda r: r["doc_id"])
+    bins = [r["bin_id"] for r in by_doc]
+    assert bins == sorted(bins)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, strategy="bestfit")
+
+
 def test_oversized_doc_gets_own_bin(spark):
     docs = spark.createDataFrame(
         [(1, "g", 5000), (2, "g", 100), (3, "g", 100)],
