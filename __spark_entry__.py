@@ -2,10 +2,16 @@
 
 ``entry(spark)`` runs the flagship keyphrase-boosted BM25 query at
 sf0.001; ``queries()``/``oracle_sql()`` expose every implemented operator
-from SURVEY.md §2 with DuckDB oracles where ANSI-SQL can express the
-semantics (non-SQL ops — BIO decode, MinHash/SimHash candidate
-generation, LSH ANN, binary feature extraction — are rows-only and covered
-by pytest against pure-Python oracles instead).
+from SURVEY.md §2 plus the training-data pipeline ops, with DuckDB
+oracles wherever the semantics are SQL-replayable — including the
+machines one might assume aren't: the BIO decode state machine, the full
+Arrow tagger surface (injectable rule), the complete SimHash pipeline
+(SQL-expressible token hash), transitive near-dup clustering (recursive
+CTE), the 5-stage curation chain, and the sequence-packing kernel
+(recursive-CTE fold). Only the 2 production-hash variants
+(``keyphrase_extract`` blake2b, ``simhash_pairs`` xxhash64) are
+rows-only, each pinned by a pure-Python parity pytest AND sharing its
+entire downstream pipeline with an oracle-gated twin.
 """
 
 from __future__ import annotations

@@ -3,10 +3,13 @@
 Each entry maps an operator from SURVEY.md §2 (or a training-data pipeline
 operator) onto the driver's testdata tables. The Spark side and the SQL
 side compute the same logical result with matching column names; floats
-are rounded identically on both sides. Non-SQL-expressible operators
-(BIO decode, SimHash candidate generation, WAND internals) are
-registered without oracle SQL — the driver records rows-only checks and
-pytest covers them against pure-Python oracles.
+are rounded identically on both sides. Machinery that SQL cannot compute
+directly is still hash-gated through the "injectable-rule twin" pattern
+(bio_extract / keyphrase_extract_ruled / simhash_fp_pairs /
+pack_nextfit): the engine's REAL kernel runs with a SQL-expressible
+parameterization and DuckDB replays it relationally. Only the two
+production-hash variants (blake2b tagger stand-in, xxhash64 simhash)
+stay rows-only, pinned by pure-Python parity pytest.
 
 CONTRACT RULES (learned from driver round 1):
 - No array-typed columns in any queries() output — the driver's pandas
