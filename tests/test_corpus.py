@@ -46,3 +46,27 @@ def test_doc_ids_scale_path_matches_window_path(spark):
     scale = (with_doc_ids(pages, scale_threshold=10, n_range_parts=5)
              .select("url", "doc_id").orderBy("url").collect())
     assert small == scale
+
+
+def test_cache_registry_bounded_and_releasable(spark):
+    """The persist registry must stay bounded (oldest entries released
+    past the cap) and release_cached must unpersist what remains."""
+    from dlkp_spark import cache as c
+
+    docs = spark.range(10)
+    before = len(c._PERSISTED)
+    saved_max = c._MAX_REGISTERED
+    try:
+        c._MAX_REGISTERED = 4
+        c._PERSISTED.clear()
+        frames = [c.persist(docs.selectExpr(f"id + {i} AS id")) for i in range(6)]
+        assert len(c._PERSISTED) <= 5  # cap enforced (half dropped at 4)
+        n = c.release_cached()
+        assert n >= 1
+        assert not c._PERSISTED
+        # released frames still compute correctly (lazy recompute)
+        assert frames[0].count() == 10
+    finally:
+        c._MAX_REGISTERED = saved_max
+        c._PERSISTED.clear()
+        _ = before
