@@ -29,12 +29,10 @@ cost too: cheap predicates first shrink what the shuffles see.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from dlkp_spark.pipeline.cluster import dedup_clusters, keep_canonical
 from dlkp_spark.pipeline.dedup import exact_dedup, ngram_jaccard_pairs
 from dlkp_spark.pipeline.sampling import stratified_sample
-from dlkp_spark.pipeline.textstats import langid, quality_features
 
 
 def curate_corpus(docs: DataFrame,
@@ -51,15 +49,21 @@ def curate_corpus(docs: DataFrame,
     ``minhash_lsh_pairs``/``simhash_pairs`` output; default is exact
     n-gram Jaccard (the oracle-checkable variant).
     """
-    # stages 1+2: one scan-local predicate pass
-    lang = langid(docs).withColumnRenamed("doc_id", "_lid")
-    qual = quality_features(docs).withColumnRenamed("doc_id", "_qid")
-    gated = (docs
-             .join(lang.filter(F.col("pred_lang").isin(list(languages))),
-                   docs["doc_id"] == lang["_lid"], "left_semi")
-             .join(qual.filter((F.col("n_tokens") >= min_tokens)
-                               & (F.col("stopword_ratio") <= max_stopword_ratio)),
-                   docs["doc_id"] == qual["_qid"], "left_semi"))
+    # stages 1+2: scan-local WHERE predicates — NOT semi-joins. The gate
+    # values are pure expressions of the row, so joining docs against a
+    # same-cardinality gate frame would shuffle the full corpus twice for
+    # what a Filter does inside the scan stage (plan-tested: zero
+    # exchanges before the dedup shuffle).
+    from dlkp_spark.pipeline.textstats import (
+        langid_expr,
+        n_tokens_expr,
+        stopword_ratio_expr,
+    )
+
+    gated = docs.filter(
+        langid_expr().isin(list(languages))
+        & (n_tokens_expr() >= min_tokens)
+        & (stopword_ratio_expr() <= max_stopword_ratio))
     # stage 3: exact-duplicate keeper (lowest doc_id per md5)
     exact_kept = exact_dedup(gated)
     # stage 4: transitive near-dup keeper

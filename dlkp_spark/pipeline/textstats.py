@@ -22,9 +22,9 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, pred_lang) — marker-token counting, most hits wins
-    (ties broken en > de > fr, deterministic)."""
+def langid_expr(text_col: str = "text"):
+    """The language-ID prediction as a pure Column expression — usable as
+    a scan-local WHERE predicate (curate) or a projection (langid)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
 
     def marker_count(ws: list[str]):
@@ -33,26 +33,40 @@ def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         return F.size(F.filter(toks, lambda t: t.isin(*ws)))
 
     counts = {lang: marker_count(ws) for lang, ws in LANG_MARKERS.items()}
-    pred = (F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
+    return (F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
             .when(counts["de"] >= counts["fr"], "de")
             .otherwise("fr"))
-    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("pred_lang"))
+
+
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang) — marker-token counting, most hits wins
+    (ties broken en > de > fr, deterministic)."""
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       langid_expr(text_col).alias("pred_lang"))
+
+
+def n_tokens_expr(text_col: str = "text"):
+    return F.size(F.split(F.lower(F.col(text_col)), " "))
+
+
+def stopword_ratio_expr(text_col: str = "text"):
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.round(sw / F.size(toks).cast("double"), 6)
 
 
 def quality_features(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality features: n_tokens, n_chars, avg_token_len,
     stopword_ratio — rounded for oracle comparison."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n_tok = F.size(toks)
+    n_tok = n_tokens_expr(text_col)
     n_chars = F.length(text_col)
-    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round((n_chars - (n_tok - 1)) / n_tok.cast("double"), 6).alias("avg_token_len"),
-        F.round(sw / n_tok.cast("double"), 6).alias("stopword_ratio"),
+        stopword_ratio_expr(text_col).alias("stopword_ratio"),
     )
 
 

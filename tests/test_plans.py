@@ -131,6 +131,39 @@ def test_ivf_sample_has_no_global_sort(spark):
     assert np.allclose(full, filtered)
 
 
+def test_stratified_sample_is_scan_local(spark):
+    """The sampling filter must evaluate inside the scan stage: no
+    exchange, no Python — a pure codegen predicate at 100 TB."""
+    from dlkp_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.range(1000).selectExpr("id AS doc_id", "'g' AS source")
+    plan = plan_of(stratified_sample(docs, {"g": 0.5}))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # "*(1)" = whole-stage-codegen stage marker wrapping filter + scan
+    assert "*(1) Filter" in plan, plan
+
+
+def test_curate_gates_are_scan_local_filters(spark):
+    """The language/quality gates are pure row expressions — they must
+    plan as a Filter inside the scan stage, never as a join of the full
+    corpus against a same-cardinality gate frame (this test caught
+    exactly that: the first implementation semi-joined docs against
+    langid(docs), shuffling the corpus twice)."""
+    from dlkp_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s", "the data query is fast and good") for i in range(50)],
+        "doc_id long, source string, text string")
+    empty_pairs = spark.createDataFrame([], "a long, b long")
+    df = curate_corpus(docs, min_tokens=1, default_fraction=1.0,
+                       pairs=empty_pairs)
+    plan = plan_of(df)
+    # exactly ONE semi-join in the whole chain: the canonical-keeper
+    # filter; the gates contribute Filters, not joins
+    assert plan.count("LeftSemi") == 1, plan
+
+
 def test_simhash_single_shuffle(spark):
     """The signature aggregate must be ONE exchange keyed on doc_id."""
     from dlkp_spark.pipeline.dedup import simhash_signatures
