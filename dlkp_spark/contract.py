@@ -546,6 +546,81 @@ FROM documents GROUP BY source
 """
 
 
+def q_source_orc(spark, sf_dir):
+    """S2 columnar-source parity beyond parquet: round-trip through ORC
+    (Spark-native reader/writer) via the extension-dispatch loader."""
+    from dlkp_spark.corpus import load_table
+
+    ensure_shipped(spark)
+    out = os.path.join(_staging_dir("src_orc_"), "docs.orc")
+    _docs(spark, sf_dir).select("doc_id", "lang", "n_chars") \
+        .coalesce(1).write.mode("overwrite").orc(out)
+    d = load_table(spark, out)
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars")))
+
+
+SQL_SOURCE_ORC = """
+SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_source_tsv(spark, sf_dir):
+    """S2 tsv source (the reference's extraction.py:62-74 dispatch covers
+    tab-separated files): scalar columns round-tripped with header +
+    explicit schema."""
+    from dlkp_spark.corpus import load_table
+
+    ensure_shipped(spark)
+    out = os.path.join(_staging_dir("src_tsv_"), "docs.tsv")
+    _docs(spark, sf_dir).select("doc_id", "source", "n_chars") \
+        .coalesce(1).write.mode("overwrite") \
+        .option("header", "true").option("sep", "\t").csv(out)
+    d = load_table(spark, out, fmt="tsv",
+                   schema="doc_id long, source string, n_chars long")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars")))
+
+
+SQL_SOURCE_TSV = """
+SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """CUBE aggregation (multi-granularity analytics over the events
+    table): totals by (event_type, hour), by each alone, and the grand
+    total in ONE pass — Spark plans a single Expand + aggregate, the
+    exact shape GROUPING SETS takes at warehouse scale."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+    cube = (e.cube(hour, "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+    # grouping nulls → sentinels: the driver's pandas canonicalization
+    # must not depend on engine-specific null sorting/representation
+    return cube.select(
+        F.coalesce("hour_epoch", F.lit(-1)).alias("hour_epoch"),
+        F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+        "n", "sum_value")
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(hour_epoch, -1) AS hour_epoch,
+       COALESCE(event_type, '<all>') AS event_type, n, sum_value
+FROM (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+  FROM events
+  GROUP BY CUBE (1, 2)
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity
 # ---------------------------------------------------------------------------
@@ -1263,6 +1338,8 @@ QUERIES = {
     "generation_topk": (q_generation_topk, SQL_GENERATION_TOPK),
     "source_json": (q_source_json, SQL_SOURCE_JSON),
     "source_csv": (q_source_csv, SQL_SOURCE_CSV),
+    "source_tsv": (q_source_tsv, SQL_SOURCE_TSV),
+    "source_orc": (q_source_orc, SQL_SOURCE_ORC),
     "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -1281,6 +1358,7 @@ QUERIES = {
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "topk_orders_per_cust": (q_topk_orders_per_cust, SQL_TOPK_ORDERS_PER_CUST),
     "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),

@@ -118,6 +118,8 @@ def load_table(spark: SparkSession, path: str, fmt: str | None = None,
     ext = (fmt or os.path.splitext(path.rstrip("/"))[1].lstrip(".")).lower()
     if ext in ("parquet", "pq"):
         return spark.read.parquet(path)
+    if ext == "orc":
+        return spark.read.orc(path)
     if ext in ("json", "jsonl"):
         r = spark.read
         if schema:
