@@ -1169,6 +1169,34 @@ SELECT o_custkey, rnk, o_orderkey FROM (
 """
 
 
+def q_salted_join_orders(spark, sf_dir):
+    """Skew-salted shuffled join (the task's 'salting for skew'): orders
+    (probe, o_custkey is the skewed side at scale) ⋈ customer (build,
+    replicated n_salt×) on (key, salt) — row-identical to the plain
+    join, which is exactly what the oracle replays. The salt is a
+    content hash, so the gate also pins shuffle determinism."""
+    from dlkp_spark.pipeline.joins import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    j = salted_join(o, c, "c_custkey", n_salt=8)
+    # exact integer cents: float sums fold in engine-specific order
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (j.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("sum_cents")))
+
+
+SQL_SALTED_JOIN_ORDERS = """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_semi_join_nations(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_totalprice") > 100000)
@@ -1361,6 +1389,7 @@ QUERIES = {
     "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "topk_orders_per_cust": (q_topk_orders_per_cust, SQL_TOPK_ORDERS_PER_CUST),
+    "salted_join_orders": (q_salted_join_orders, SQL_SALTED_JOIN_ORDERS),
     "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),
     "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
