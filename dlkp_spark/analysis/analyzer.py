@@ -97,6 +97,17 @@ def with_doc_ids(docs: DataFrame, scale_threshold: int = 100_000,
     offsets table is one row per partition, broadcast). Both paths produce
     the identical url→rank mapping, independent of where range boundaries
     fall, so results are partitioning-invariant.
+
+    PRECONDITION (load-bearing, pinned by
+    tests/test_index_build.py::test_doc_ids_deterministic_across_reeval):
+    urls are UNIQUE. The small path's ids come from
+    ``monotonically_increasing_id`` over a coalesced sorted partition —
+    deterministic across re-evaluations only because the (single-partition,
+    unique-key) sort admits exactly one row order; a duplicate url would
+    make the sort order — and therefore the id assignment and the
+    join-back fan-out — ambiguous. Corpus urls are primary keys by
+    construction (corpus.py generator, TESTDATA.md) and the web-scale
+    input contract (BASELINE.json input_hint) keys pages by url.
     """
     from pyspark.sql import Window
 

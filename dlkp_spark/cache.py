@@ -17,15 +17,27 @@ from pyspark.sql import DataFrame
 # a weak registry would silently lose the ability to free blocks. The
 # registry is bounded instead — past _MAX_REGISTERED the oldest half is
 # unpersisted eagerly (those frames belong to completed operator calls;
-# unpersist is always safe, a still-live plan just recomputes). Long-
-# lived services should still call release_cached() between jobs to
+# eviction-then-recompute is safe ONLY because every plan persisted
+# through this module is DETERMINISTIC — see persist()'s contract below).
+# Long-lived services should still call release_cached() between jobs to
 # return executor storage promptly.
 _PERSISTED: list[DataFrame] = []
 _MAX_REGISTERED = 256
 
 
 def persist(df: DataFrame) -> DataFrame:
-    """persist() a frame and register it for later bulk release."""
+    """persist() a frame and register it for later bulk release.
+
+    CONTRACT: ``df``'s plan must be DETERMINISTIC under re-evaluation —
+    eager eviction (or executor loss) silently recomputes evicted blocks,
+    so a nondeterministic plan (rand() without a seed, unseeded sampling,
+    monotonically_increasing_id over an unpinned partitioning) would
+    change results mid-operator. Every current caller satisfies this:
+    e.g. with_doc_ids persists spark_partition_id over a
+    repartitionByRange whose boundaries are fixed by the sampled input,
+    and the dedup/similarity persists are pure column transforms. Keep it
+    that way when adding persist() call sites.
+    """
     df = df.persist()
     if len(_PERSISTED) >= _MAX_REGISTERED:
         old = _PERSISTED[: _MAX_REGISTERED // 2]

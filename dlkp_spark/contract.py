@@ -596,24 +596,30 @@ def q_events_rollup(spark, sf_dir):
     table): totals by (event_type, hour), by each alone, and the grand
     total in ONE pass — Spark plans a single Expand + aggregate, the
     exact shape GROUPING SETS takes at warehouse scale."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    hour = F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
-    cube = (e.cube(hour, "event_type")
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", "ts"))))
+    cube = (e.cube("hour_epoch", "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
-    # grouping nulls → sentinels: the driver's pandas canonicalization
-    # must not depend on engine-specific null sorting/representation
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.grouping("hour_epoch").cast("int").alias("g_hour"),
+                 F.grouping("event_type").cast("int").alias("g_type")))
+    # grouping nulls → sentinels for the VALUE columns (the driver's pandas
+    # canonicalization must not depend on engine-specific null handling),
+    # plus explicit GROUPING() flags so a rollup-total row can never collide
+    # with a genuine hour_epoch=-1 / event_type='<all>' data row
     return cube.select(
         F.coalesce("hour_epoch", F.lit(-1)).alias("hour_epoch"),
         F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
-        "n", "sum_value")
+        "g_hour", "g_type", "n", "sum_value")
 
 
 SQL_EVENTS_ROLLUP = """
 SELECT COALESCE(hour_epoch, -1) AS hour_epoch,
-       COALESCE(event_type, '<all>') AS event_type, n, sum_value
+       COALESCE(event_type, '<all>') AS event_type, g_hour, g_type, n, sum_value
 FROM (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+         CAST(GROUPING(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS INTEGER) AS g_hour,
+         CAST(GROUPING(event_type) AS INTEGER) AS g_type,
          count(*) AS n, round(sum(value), 4) AS sum_value
   FROM events
   GROUP BY CUBE (1, 2)
@@ -888,7 +894,9 @@ def q_knn_lsh(spark, sf_dir):
     the engine regressed. Round-3 scale audit: sf0.1 needs multiprobe=6
     (≈96% of buckets — near-exhaustive) for recall 1.0, so the knobs
     stay pinned to the gate scale rather than degrade the entry into a
-    full scan."""
+    full scan. The precondition is ASSERTED by tests/test_similarity.py::
+    test_gate_knobs_full_recall_on_driver_testdata, which fails with a
+    diagnosis if the testdata or knobs ever drift."""
     from dlkp_spark.pipeline.similarity import lsh_cosine_topk
 
     ensure_shipped(spark)
@@ -903,7 +911,8 @@ def q_knn_ivf(spark, sf_dir):
     (8 centroids, 7 probes) the probed cells contain the true top-10 on
     the testdata at BOTH sf0.01 and sf0.1 (round-3 scale audit; 6 probes
     was recall-1.0 only at sf0.01 — same testdata-version-pinned
-    precondition as q_knn_lsh)."""
+    precondition as q_knn_lsh, asserted by the same
+    test_gate_knobs_full_recall_on_driver_testdata)."""
     from dlkp_spark.pipeline.similarity import ivf_cosine_topk
 
     ensure_shipped(spark)
@@ -1272,6 +1281,11 @@ def q_pack_nextfit(spark, sf_dir):
     kernel except the bin-selection branch (pytest-pinned)."""
     from dlkp_spark.pipeline.sampling import pack_sequences
 
+    # coalesce(1) is ORACLE SCAFFOLDING only: the recursive-CTE replay is
+    # a sequential fold, so the kernel must see one deterministic global
+    # order. Production packing is pack_sequences(strategy="ffd") on the
+    # natural partitioning — per-partition bins, zero coordination
+    # (pipeline/sampling.py:59-123, invariants pytest-pinned).
     d = (_docs(spark, sf_dir)
          .select("doc_id", F.size(_toks()).alias("n_tokens"))
          .coalesce(1).sortWithinPartitions("doc_id"))

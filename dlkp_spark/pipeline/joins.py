@@ -32,7 +32,20 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
     ``probe`` rows get a deterministic content-derived salt so repeated
     runs shuffle identically. Columns: probe's then build's (minus the
     duplicate key), like a plain ``join on key``.
+
+    Only probe-side-preserving join types are allowed: with ``right`` or
+    ``full``/``outer``, an unmatched BUILD row would surface once per salt
+    replica (n_salt copies), silently breaking the row-identity guarantee
+    — so those are rejected rather than quietly wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} is not row-identical to a plain join: "
+            "unmatched build rows would be replicated n_salt times; use one "
+            f"of {sorted(allowed)} or a plain join for right/full outer")
     salt_vals = F.array(*[F.lit(i) for i in range(n_salt)])
     probe_s = probe.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),

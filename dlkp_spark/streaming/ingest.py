@@ -53,6 +53,17 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
     n = pages.count()
     if n == 0:
         return 0
+    if replay and n != int(batches[str(batch_id)]["n"]):
+        # retry semantics assume a replayed batch carries identical data;
+        # a different row count would make this batch's [base, base+n)
+        # doc-id range overlap its successor's — fail loudly BEFORE the
+        # build touches the batch's sub-index (raising after would leave
+        # the shard overwritten with the mutated data) instead of
+        # silently corrupting the id space
+        raise ValueError(
+            f"replay of batch {batch_id} produced {n} rows but the ingest "
+            f"manifest recorded {batches[str(batch_id)]['n']} — replayed "
+            "micro-batches must be byte-identical to the original")
     docs = prepare_docs(pages, validate=False, n_docs=n).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base))
     sub_dir = os.path.join(index_dir, "stream", f"batch={batch_id}")
@@ -60,15 +71,6 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
     m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}
-    if replay and n != int(batches[str(batch_id)]["n"]):
-        # retry semantics assume a replayed batch carries identical data;
-        # a different row count would make this batch's [base, base+n)
-        # doc-id range overlap its successor's — fail loudly instead of
-        # silently corrupting the id space
-        raise ValueError(
-            f"replay of batch {batch_id} produced {n} rows but the ingest "
-            f"manifest recorded {batches[str(batch_id)]['n']} — replayed "
-            "micro-batches must be byte-identical to the original")
     batches[str(batch_id)] = {"base": base, "n": n}
     m["batches"] = batches
     if not replay:

@@ -42,6 +42,25 @@ def index_dir(spark, docs, tmp_path_factory):
     return d
 
 
+def test_doc_ids_deterministic_across_reeval(spark, docs):
+    """Pins the with_doc_ids precondition (ADVICE r3): urls are unique, so
+    the small path's coalesce(1) + sortWithinPartitions +
+    monotonically_increasing_id assignment admits exactly ONE row order —
+    ids must be the dense 0..n-1 rank of sorted urls, and a SECOND
+    evaluation of the same plan (the ids subplan is re-evaluated whenever
+    the unpersisted docs frame is, e.g. token_table's two explode
+    branches) must reproduce identical ids."""
+    pages = generate_web_pages(spark, 120, seed=11)
+    assert pages.count() == pages.select("url").distinct().count(), \
+        "corpus generator must keep urls unique (doc-id precondition)"
+    d = prepare_docs(pages)  # unpersisted on purpose: forces re-evaluation
+    eval1 = {r["url"]: r["doc_id"] for r in d.select("url", "doc_id").collect()}
+    eval2 = {r["url"]: r["doc_id"] for r in d.select("url", "doc_id").collect()}
+    assert eval1 == eval2, "doc-id assignment changed across re-evaluations"
+    expect = {u: i for i, u in enumerate(sorted(eval1))}
+    assert eval1 == expect, "doc_id is not the dense sorted-url rank"
+
+
 def test_corpus_stats_match_oracle(docs, oracle_idx):
     stats = corpus_stats(docs)
     assert stats["n_docs"] == oracle_idx.n_docs

@@ -35,6 +35,24 @@ def test_salt_actually_spreads_the_hot_key(spark, skewed):
     assert max(counts) < sum(counts)  # no single bucket holds it all
 
 
+def test_build_preserving_join_types_rejected(spark, skewed):
+    """ADVICE r3: right/full would replicate unmatched BUILD rows once per
+    salt replica — salted_join must reject them instead of being quietly
+    wrong."""
+    probe, build = skewed
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not row-identical"):
+            salted_join(probe, build, "k", how=how)
+
+
+def test_semi_and_anti_row_identical_to_plain(spark, skewed):
+    probe, build = skewed
+    for how in ("left_semi", "left_anti"):
+        a = sorted(map(tuple, salted_join(probe, build, "k", how=how).collect()))
+        b = sorted(map(tuple, probe.join(build, "k", how).collect()))
+        assert a == b, how
+
+
 def test_left_join_nulls_preserved(spark):
     probe = spark.createDataFrame([(1, "a"), (9, "b")], "k long, x string")
     build = spark.createDataFrame([(1, "y")], "k long, v string")

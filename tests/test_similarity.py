@@ -59,6 +59,47 @@ def test_ivf_recall(spark, embs):
     assert 11 in ivf  # the query's own cell is always probed
 
 
+def test_gate_knobs_full_recall_on_driver_testdata(spark):
+    """ADVICE r3 #5: the knn_lsh / knn_ivf driver gates compare the ANN
+    paths against the EXACT top-k oracle, which is valid only while the
+    pinned knobs achieve recall 1.0 on the driver's sf0.01 testdata. That
+    precondition was previously a measured-once claim in a docstring; this
+    test asserts it, so a regenerated testdata (or a knob drift) fails
+    HERE with a diagnosis instead of as a mystery driver hash mismatch.
+
+    Knobs mirrored from contract.q_knn_lsh / q_knn_ivf — keep in sync.
+    """
+    import os
+
+    from dlkp_spark.pipeline.similarity import ivf_cosine_topk
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    df = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+          .filter("vec_id != 0").persist())
+    q_row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+             .filter("vec_id = 0").select("embedding").head())
+    q = [float(x) for x in q_row["embedding"]]
+    exact = [r["vec_id"] for r in
+             brute_cosine_topk(df, q, k=10).orderBy("rank").collect()]
+    lsh = [r["vec_id"] for r in
+           lsh_cosine_topk(df, q, k=10, n_planes=8, multiprobe=4)
+           .orderBy("rank").collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_cosine_topk(df, q, k=10, n_centroids=8, n_probe=7)
+           .orderBy("rank").collect()]
+    df.unpersist()
+    assert lsh == exact, (
+        "knn_lsh gate precondition broken: pinned knobs (n_planes=8, "
+        "multiprobe=4) no longer give recall 1.0 on sf0.01 — testdata was "
+        "regenerated or knobs drifted; fix the knobs BEFORE the driver gate "
+        "reports a hash mismatch")
+    assert ivf == exact, (
+        "knn_ivf gate precondition broken: pinned knobs (n_centroids=8, "
+        "n_probe=7) no longer give recall 1.0 on sf0.01 — see q_knn_ivf")
+
+
 def test_lsh_fewer_planes_higher_recall(spark, embs):
     df, vecs = embs
     q = [float(x) for x in vecs[3]]

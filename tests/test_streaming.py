@@ -61,6 +61,33 @@ def test_replayed_batch_reuses_doc_id_base(spark, tmp_path):
     assert before == after, "replay changed the index content"
 
 
+def test_replayed_batch_with_mutated_rowcount_fails_loudly(spark, tmp_path):
+    """Failure-path hardening (round-3 verdict #1): a replayed batch_id that
+    carries a DIFFERENT row count than the ingest manifest recorded would
+    make its [base, base+n) doc-id range overlap its successor's — the
+    append must raise, not silently overwrite the recorded count, and the
+    manifest must be left exactly as it was."""
+    from dlkp_spark.streaming.ingest import append_batch
+
+    index_dir = str(tmp_path / "mutated_idx")
+    pages = generate_web_pages(spark, 60, seed=7)
+    b0 = pages.filter("pmod(crc32(url), 2) = 0")
+    b1 = pages.filter("pmod(crc32(url), 2) = 1")
+    append_batch(spark, b0, index_dir, CFG, 0)
+    append_batch(spark, b1, index_dir, CFG, 1)
+    m0 = mf.read_global(index_dir, "ingest.json")
+    before = sorted(map(tuple, load_stream_postings(spark, index_dir)
+                        .select("term", "field", "n_postings").collect()))
+    mutated = b0.limit(b0.count() - 3)  # replay of batch 0 with rows missing
+    with pytest.raises(ValueError, match="replay of batch 0"):
+        append_batch(spark, mutated, index_dir, CFG, 0)
+    m1 = mf.read_global(index_dir, "ingest.json")
+    assert m1 == m0, "failed replay mutated the ingest manifest"
+    after = sorted(map(tuple, load_stream_postings(spark, index_dir)
+                       .select("term", "field", "n_postings").collect()))
+    assert after == before, "failed replay touched the index content"
+
+
 def test_streamed_postings_content_matches_oracle(spark, stream_dirs):
     _, index_dir, pages = stream_dirs
     postings = load_stream_postings(spark, index_dir).filter("field = 0").collect()

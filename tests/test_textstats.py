@@ -61,6 +61,35 @@ def test_multimodal_plumbing(spark, docs):
         sum(1 for c in b"the data query is fast" if c >> 4 == 6) / 22, abs=1e-6)
 
 
+def test_multimodal_features_empty_text_matches_oracle(spark):
+    """ADVICE r3 #2: DuckDB string_split('', '') yields one '' element, so
+    the naive oracle disagreed with the Spark kernel (zero bytes) on
+    empty-text docs. The guarded SQL_MULTIMODAL_FEATURES (WHERE
+    length(text) > 0 + LEFT JOIN defaults) must agree with the kernel on a
+    corpus that actually CONTAINS an empty document — the driver testdata
+    has none, so this pins the branch."""
+    import duckdb
+    import pandas as pd
+
+    from dlkp_spark.contract import SQL_MULTIMODAL_FEATURES
+
+    rows = [(0, "the data query is fast", "s0"), (1, "", "s0"), (2, "xyz", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = (byte_histogram_features(attach_fake_payload(docs))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    want = (con.execute(SQL_MULTIMODAL_FEATURES).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert got[c].astype(float).tolist() == pytest.approx(
+            want[c].astype(float).tolist(), abs=1e-9), f"column {c} diverges"
+    empty = got[got.doc_id == 1].iloc[0]
+    assert (empty.n_bytes, empty.top_bin, empty.top_frac, empty.n_bins_used) \
+        == (0, 0, 0.0, 0)
+
+
 def test_decode_stub_raises(spark, docs):
     with pytest.raises(NotImplementedError, match="stubbed"):
         decode_image(attach_fake_payload(docs))
