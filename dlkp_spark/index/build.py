@@ -124,19 +124,35 @@ def corpus_stats(docs: DataFrame) -> dict:
     }
 
 
-def stats_from_tokens(tokens: DataFrame, n_docs: int) -> dict:
-    """Corpus stats computed from the cached token table instead of a
-    second scan of the wide docs frame.
+def stats_and_term_dict(
+        tokens: DataFrame, n_docs: int) -> tuple[dict, DataFrame, DataFrame]:
+    """Corpus stats AND the (field, term, df) dictionary from ONE
+    grouping-sets pass over the cached token table (round-3 verdict #3:
+    the separate ``distinct`` doclen pass and the encode job's own df
+    aggregation were two extra shuffles over the largest intermediate).
 
-    avgdl = Σ per-(doc, field) stream length / n_docs. Docs with an empty
-    field contribute 0 to the sum and are absent from the token table, so
-    summing distinct (doc_id, field, dl) rows divided by the total doc
-    count is exactly the oracle's arithmetic (integer sum, one division).
+    - set (field, term): count(*) = df (token rows are (doc, field, term)-
+      distinct by construction).
+    - set (field):       sum(tf) = Σ per-(doc, field) stream length — a
+      doc's field dl IS its token count, so the corpus dl sum is just the
+      total token count per field; no distinct needed. Docs with an empty
+      field contribute 0 and are absent from the table, matching the
+      oracle's integer-sum / n_docs arithmetic exactly.
+
+    Returns (stats, dfs, grouped) — ``grouped`` is the persisted aggregate
+    backing ``dfs``; the caller unpersists it when the build job is done.
+    The ``dfs`` filter reads the cached aggregate, so the posting-encode
+    job does not re-aggregate the token table. The collect below is also
+    what materializes the token-table cache — one driver action covers
+    both.
     """
-    rows = (tokens.select("doc_id", "field", "dl").distinct()
-            .groupBy("field").agg(F.sum("dl").alias("s")).collect())
-    sums = {r["field"]: int(r["s"]) for r in rows}
-    return {
+    g = (tokens.groupingSets([["field", "term"], ["field"]], "field", "term")
+         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_sum"),
+              F.grouping_id().alias("gid"))
+         .persist())
+    rows = g.filter(F.col("gid") == 1).select("field", "tf_sum").collect()
+    sums = {r["field"]: int(r["tf_sum"]) for r in rows}
+    stats = {
         "n_docs": n_docs,
         "avgdl": {
             FIELD_BODY: sums.get(FIELD_BODY, 0) / n_docs,
@@ -144,6 +160,24 @@ def stats_from_tokens(tokens: DataFrame, n_docs: int) -> dict:
         },
         # exact integer doclen sums — lets sub-index stats combine exactly
         # (stream reconcile / merge recompute global avgdl = Σsums / Σn)
+        "dl_sums": {FIELD_BODY: sums.get(FIELD_BODY, 0),
+                    FIELD_KP: sums.get(FIELD_KP, 0)},
+    }
+    dfs = g.filter(F.col("gid") == 0).select("field", "term", "df")
+    return stats, dfs, g
+
+
+def stats_from_tokens(tokens: DataFrame, n_docs: int) -> dict:
+    """Stats-only variant (kept for callers that don't need the term
+    dictionary); same arithmetic as stats_and_term_dict."""
+    rows = tokens.groupBy("field").agg(F.sum("tf").alias("s")).collect()
+    sums = {r["field"]: int(r["s"]) for r in rows}
+    return {
+        "n_docs": n_docs,
+        "avgdl": {
+            FIELD_BODY: sums.get(FIELD_BODY, 0) / n_docs,
+            FIELD_KP: sums.get(FIELD_KP, 0) / n_docs,
+        },
         "dl_sums": {FIELD_BODY: sums.get(FIELD_BODY, 0),
                     FIELD_KP: sums.get(FIELD_KP, 0)},
     }
@@ -278,7 +312,7 @@ def build_index(
         # an extra Arrow tagger pass) — callers that know the corpus size
         # should pass n_docs; every engine-internal caller does
         n_docs = docs.select("doc_id").count()
-    stats = stats_from_tokens(tokens, n_docs)
+    stats, dfs, grouped = stats_and_term_dict(tokens, n_docs)
     mf.write_global(index_dir, "stats.json", {
         "n_docs": stats["n_docs"],
         "avgdl": {str(k): v for k, v in stats["avgdl"].items()},
@@ -287,7 +321,6 @@ def build_index(
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
     })
-    dfs = term_dict(tokens).persist()
     tokens_df = tokens.join(dfs, ["field", "term"])
 
     metrics = {"shards": [], "n_docs": stats["n_docs"]}
@@ -343,7 +376,7 @@ def build_index(
             mf.write_shard_manifest(index_dir, shard, payloads[shard])
     metrics["shards"] = [payloads[s] for s in range(n_shards)]
     tokens.unpersist()
-    dfs.unpersist()
+    grouped.unpersist()
     shutil.rmtree(os.path.join(index_dir, "_tmp"), ignore_errors=True)
     return metrics
 

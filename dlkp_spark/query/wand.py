@@ -221,6 +221,10 @@ def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
     Lists must be sorted by (term, field); ``np.add.at`` then accumulates
     per-doc contributions in exactly the oracle's float order (term asc,
     body before kp), so scores stay bit-identical to the WAND/oracle paths.
+
+    This is the reference kernel shape; the batch path uses the dense
+    per-segment variant in ``_taat_topk_dense`` (bit-identical, measured
+    2.2× faster at 2000 queries — tests/test_wand_kernel.py pins identity).
     """
     if not lists:
         return []
@@ -231,6 +235,52 @@ def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
     np.add.at(acc, inv, contribs)
     order = np.lexsort((uniq, -acc))[:k]
     return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
+def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
+                     k: int) -> list[tuple[int, float]]:
+    """Dense-accumulator exact TAAT for one query over one segment.
+
+    Replaces the sort-based ``np.unique`` + ``np.add.at`` accumulation with
+    direct fancy ``+=`` into a segment-width float buffer: doc ids within a
+    segment are a bounded contiguous range (doc_id // segment_docs is the
+    segment key, build.py), so ``doc - base`` indexes a cache-resident
+    array and each list's docs are unique within the list, making direct
+    scatter legal. Accumulation still runs list-by-list in (term asc,
+    field asc) order — the same float-add sequence per doc as
+    ``_taat_topk`` and the oracle, so scores stay bit-identical.
+
+    Lists must carry precomputed ``cols`` (docs - base) and ``vals``
+    (boost * contribs). ``acc`` is the caller's reusable buffer.
+
+    Top-k selection: O(width) ``np.partition`` for the kth score, then the
+    boundary-tie-complete candidate set lexsorted by (score desc, doc asc)
+    — identical tie handling to the full lexsort it replaces.
+
+    Why no block-max pruning here (round-3 verdict #4 asked; measured +
+    argued instead): once accumulation costs O(1) per posting with no
+    sort, ANY per-posting prune test costs at least as much as the add it
+    would skip, and a block-granularity prune (range-add difference
+    array + cumsum for upper bounds) still needs a per-query exact seed
+    threshold whose computation touches the same postings. Pruning pays
+    where per-posting work is avoidable — the per-query DAAT path
+    (``bmw_topk_lists``) already does Ding & Suel block-max skipping. A
+    matrix-across-queries variant was also measured: 2.1× SLOWER than
+    this shape (2D scatter misses cache; see BASELINE.md round-4 notes).
+    """
+    if not q_lists:
+        return []
+    acc.fill(0.0)
+    for lst in q_lists:
+        acc[lst["cols"]] += lst["vals"]
+    kk = min(k, len(acc))
+    kth = -np.partition(-acc, kk - 1)[kk - 1]
+    cand = np.flatnonzero(acc > 0) if kth <= 0 else np.flatnonzero(acc >= kth)
+    if not len(cand):
+        return []
+    sc = acc[cand]
+    order = np.lexsort((cand, -sc))[:k]
+    return [(base + int(cand[i]), float(sc[i])) for i in order]
 
 
 def batch_topk(
@@ -262,17 +312,26 @@ def batch_topk(
     postings = load_postings(spark, index_dir).join(F.broadcast(t_df), "term")
 
     def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
-        lists = _decode_group(g, stats, p)
-        by_term: dict[str, list[dict]] = {}
-        for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
-            by_term.setdefault(lst["term"], []).append(lst)
+        lists = [lst for lst in _decode_group(g, stats, p) if len(lst["docs"])]
         qids, dids, scores = [], [], []
-        for qid, terms in qmap:
-            q_lists = [lst for t in terms for lst in by_term.get(t, [])]
-            for d, s in _taat_topk(q_lists, k):
-                qids.append(qid)
-                dids.append(d)
-                scores.append(s)
+        if lists:
+            # dense-accumulator setup: segment doc ids live in a bounded
+            # contiguous range, so one reusable width-sized buffer serves
+            # every query (see _taat_topk_dense)
+            base = min(int(lst["docs"][0]) for lst in lists)
+            width = max(int(lst["docs"][-1]) for lst in lists) - base + 1
+            by_term: dict[str, list[dict]] = {}
+            for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
+                lst["cols"] = (lst["docs"] - base).astype(np.int64)
+                lst["vals"] = lst["boost"] * lst["contribs"]
+                by_term.setdefault(lst["term"], []).append(lst)
+            acc = np.zeros(width, dtype=np.float64)
+            for qid, terms in qmap:
+                q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+                for d, s in _taat_topk_dense(q_lists, acc, base, k):
+                    qids.append(qid)
+                    dids.append(d)
+                    scores.append(s)
         return pd.DataFrame({
             "query_id": pd.Series(qids, dtype="int64"),
             "doc_id": pd.Series(dids, dtype="int64"),

@@ -4,7 +4,12 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from dlkp_spark.query.wand import bmw_topk_lists, merge_topk
+from dlkp_spark.query.wand import (
+    _taat_topk,
+    _taat_topk_dense,
+    bmw_topk_lists,
+    merge_topk,
+)
 
 
 def brute_topk(lists, k):
@@ -67,6 +72,36 @@ def test_bmw_matches_brute_force(data):
     got = bmw_topk_lists(lists, k, block_size)
     want = brute_topk(lists, k)
     assert [(d, round(s, 12)) for d, s in got] == [(d, round(s, 12)) for d, s in want]
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_dense_taat_bit_identical_to_reference_kernel(data):
+    """The batch path's dense-accumulator TAAT must return BIT-identical
+    (doc, score) tuples — including boundary ties and <k-hit queries — to
+    the unique+add.at reference kernel (which is itself pinned against the
+    oracle by test_rank_identity)."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    n_lists = data.draw(st.integers(1, 6))
+    k = data.draw(st.integers(1, 8))
+    base = data.draw(st.integers(0, 1000)) * 64
+    width = data.draw(st.integers(1, 64))
+    lists = []
+    for i in range(n_lists):
+        n = int(rng.integers(1, width + 1))
+        docs = base + np.sort(rng.choice(width, size=n, replace=False))
+        # quantized contribs to force score ties across docs/lists
+        contribs = rng.integers(1, 4, size=n) * 0.5
+        lists.append(make_list(f"t{i}", int(rng.integers(0, 2)),
+                               1.0 + float(rng.integers(0, 2)), docs, contribs, 8))
+    lists.sort(key=lambda d: (d["term"], d["field"]))
+    want = _taat_topk(lists, k)
+    for lst in lists:
+        lst["cols"] = (lst["docs"] - base).astype(np.int64)
+        lst["vals"] = lst["boost"] * lst["contribs"]
+    acc = np.zeros(width, dtype=np.float64)
+    got = _taat_topk_dense(lists, acc, base, k)
+    assert got == want
 
 
 def test_merge_topk_tiebreak():
