@@ -68,6 +68,25 @@ def test_corpus_stats_match_oracle(docs, oracle_idx):
     assert stats["avgdl"][FIELD_KP] == oracle_idx.avgdl[FIELD_KP]
 
 
+def test_grouping_sets_stats_match_per_pass_variants(spark, docs, oracle_idx):
+    """The round-4 single grouping-sets pass must reproduce exactly what
+    the separate passes produced: stats identical to corpus_stats (docs
+    scan) and stats_from_tokens (token scan), term dict identical to
+    term_dict."""
+    from dlkp_spark.index.build import stats_and_term_dict, stats_from_tokens, term_dict
+
+    tokens = token_table(docs.select("doc_id", "tokens", "keyphrases"))
+    stats, dfs, grouped = stats_and_term_dict(tokens, N_DOCS)
+    ref = corpus_stats(docs)
+    assert stats["n_docs"] == ref["n_docs"]
+    assert stats["avgdl"] == ref["avgdl"]
+    assert stats == stats_from_tokens(tokens, N_DOCS)
+    a = sorted(map(tuple, dfs.collect()))
+    b = sorted(map(tuple, term_dict(tokens).collect()))
+    assert a == b
+    grouped.unpersist()
+
+
 def test_token_table_matches_oracle(docs, oracle_idx):
     rows = token_table(docs).collect()
     got = {}
