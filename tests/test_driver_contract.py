@@ -20,7 +20,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default = the driver's gate scale; override for scale audits, e.g.
+#   CONTRACT_SF_DIR=/root/testdata/sf0.1 pytest tests/test_driver_contract.py
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
