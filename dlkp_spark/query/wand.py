@@ -1,8 +1,10 @@
 """Block-max WAND document-at-a-time BM25 over the compressed index.
 
 North-star query path: broadcast query terms join the posting table,
-``groupBy(query_id, segment).applyInPandas`` runs the block-max WAND kernel
-per doc-range segment (per-partition DAAT with a size-k heap), and partial
+``groupBy(query_id, segment).applyInPandas`` runs the exact top-k kernel
+per doc-range segment — adaptive between block-max WAND (per-partition
+DAAT with a size-k heap; pays on long lists) and dense vectorized TAAT
+(pays on small segment slices; see ``exact_topk_lists``) — and partial
 top-k heaps merge — either relationally (window over the tiny candidate
 set) or via ``RDD.treeAggregate`` (the treeReduce heap merge of
 SURVEY.md §2.5 A6, analog of the reference's DistributedTensorGatherer at
@@ -153,6 +155,45 @@ def bmw_topk_lists(lists: list[dict], k: int, block_size: int) -> list[tuple[int
     return [(-nd, s) for s, nd in out]
 
 
+# doc-span ceiling for the dense exact kernel: above this the accumulator
+# buffer stops being cache/memory-friendly (8 MB at 1M docs) and list
+# lengths are where block-max pruning starts paying
+_DENSE_MAX_WIDTH = 1 << 22
+
+
+def exact_topk_lists(lists: list[dict], k: int, block_size: int,
+                     dense_max_width: int = _DENSE_MAX_WIDTH) -> list[tuple[int, float]]:
+    """Adaptive exact top-k over one query's decoded lists in one segment.
+
+    Both kernels are EXACT and bit-identical (same per-doc float-add order,
+    same tie-break; pinned by tests/test_wand_kernel.py) — this only picks
+    the faster one, the way Lucene chooses between BMW and exhaustive
+    scoring per clause:
+
+    - segment doc-span small (the common case: doc-range segments bound
+      width by segment_docs) → dense vectorized TAAT; the Python DAAT
+      pivot loop costs ~40× more than numpy scatter on short lists
+      (measured 0.80 s vs 0.02 s over the bench's 200 query×segment
+      groups).
+    - doc-span large (huge segments / long posting lists) → block-max
+      WAND (Ding & Suel), where skipping whole blocks beats touching
+      every posting.
+    """
+    lists = [lst for lst in lists if len(lst["docs"])]
+    if not lists:
+        return []
+    base = min(int(lst["docs"][0]) for lst in lists)
+    width = max(int(lst["docs"][-1]) for lst in lists) - base + 1
+    if width > dense_max_width:
+        return bmw_topk_lists(lists, k, block_size)
+    q_lists = sorted(lists, key=lambda d: (d["term"], d["field"]))
+    for lst in q_lists:
+        lst["cols"] = (lst["docs"] - base).astype(np.int64)
+        lst["vals"] = lst["boost"] * lst["contribs"]
+    acc = np.zeros(width, dtype=np.float64)
+    return _taat_topk_dense(q_lists, acc, base, k)
+
+
 def merge_topk(partials: Iterable[tuple[int, float]], k: int) -> list[tuple[int, float]]:
     """Merge per-segment partial top-k lists (docs are segment-disjoint)."""
     return sorted(partials, key=lambda t: (-t[1], t[0]))[:k]
@@ -199,7 +240,7 @@ def wand_topk(
     def kernel(key, g: pd.DataFrame) -> pd.DataFrame:
         qid, _segment = key
         lists = _decode_group(g, stats, p)
-        top = bmw_topk_lists(lists, k, block_size_meta)
+        top = exact_topk_lists(lists, k, block_size_meta)
         return pd.DataFrame({
             "query_id": np.int64(qid),
             "doc_id": np.array([d for d, _ in top], dtype=np.int64),
@@ -382,7 +423,7 @@ def wand_topk_treereduce(
         out = []
         for _seg, seg_g in g.groupby("segment", sort=False):
             lists = _decode_group(seg_g, stats, p)
-            out.extend(bmw_topk_lists(lists, k, block_size_meta))
+            out.extend(exact_topk_lists(lists, k, block_size_meta))
         return iter([merge_topk(out, k)])
 
     partial_rdd = postings.rdd.mapPartitions(per_part)

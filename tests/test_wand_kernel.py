@@ -8,6 +8,7 @@ from dlkp_spark.query.wand import (
     _taat_topk,
     _taat_topk_dense,
     bmw_topk_lists,
+    exact_topk_lists,
     merge_topk,
 )
 
@@ -102,6 +103,31 @@ def test_dense_taat_bit_identical_to_reference_kernel(data):
     acc = np.zeros(width, dtype=np.float64)
     got = _taat_topk_dense(lists, acc, base, k)
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_adaptive_kernel_both_paths_identical(data):
+    """exact_topk_lists must return the same result whichever kernel the
+    width threshold selects — run the SAME lists through a forced-dense
+    and a forced-BMW call and require equality (both are exact by
+    construction; this pins the dispatch wiring and the cols/vals prep)."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    n_lists = data.draw(st.integers(1, 5))
+    k = data.draw(st.integers(1, 8))
+    base = data.draw(st.integers(0, 100)) * 64
+    width = data.draw(st.integers(1, 48))
+    lists = []
+    for i in range(n_lists):
+        n = int(rng.integers(1, width + 1))
+        docs = base + np.sort(rng.choice(width, size=n, replace=False))
+        contribs = rng.integers(1, 4, size=n) * 0.5
+        lists.append(make_list(f"t{i}", int(rng.integers(0, 2)),
+                               1.0 + float(rng.integers(0, 2)), docs, contribs, 4))
+    import copy
+    dense = exact_topk_lists(copy.deepcopy(lists), k, 4, dense_max_width=1 << 22)
+    bmw = exact_topk_lists(copy.deepcopy(lists), k, 4, dense_max_width=0)
+    assert dense == bmw
 
 
 def test_merge_topk_tiebreak():
