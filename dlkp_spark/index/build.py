@@ -124,6 +124,16 @@ def corpus_stats(docs: DataFrame) -> dict:
     }
 
 
+def stats_term_dict_agg(tokens: DataFrame) -> DataFrame:
+    """The (unpersisted) combined grouping-sets aggregate: one Expand +
+    one aggregation exchange produce both the per-(field, term) df rows
+    (gid=0) and the per-field Σtf rows (gid=1). Plan shape pinned by
+    tests/test_plans.py::test_stats_pass_is_one_expand_aggregate."""
+    return (tokens.groupingSets([["field", "term"], ["field"]], "field", "term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_sum"),
+                 F.grouping_id().alias("gid")))
+
+
 def stats_and_term_dict(
         tokens: DataFrame, n_docs: int) -> tuple[dict, DataFrame, DataFrame]:
     """Corpus stats AND the (field, term, df) dictionary from ONE
@@ -146,10 +156,7 @@ def stats_and_term_dict(
     what materializes the token-table cache — one driver action covers
     both.
     """
-    g = (tokens.groupingSets([["field", "term"], ["field"]], "field", "term")
-         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_sum"),
-              F.grouping_id().alias("gid"))
-         .persist())
+    g = stats_term_dict_agg(tokens).persist()
     rows = g.filter(F.col("gid") == 1).select("field", "tf_sum").collect()
     sums = {r["field"]: int(r["tf_sum"]) for r in rows}
     stats = {

@@ -164,6 +164,27 @@ def test_curate_gates_are_scan_local_filters(spark):
     assert plan.count("LeftSemi") == 1, plan
 
 
+def test_stats_pass_is_one_expand_aggregate(spark):
+    """Round-4 build change: corpus stats + term dict come from ONE
+    grouping-sets pass — the plan must show a single Expand (the grouping
+    sets) feeding hash aggregation with exactly one exchange, and no
+    separate distinct aggregation anywhere (the pre-round-4 shape had a
+    distinct exchange over (doc_id, field, dl) plus a second full pass
+    for the term dict)."""
+    from dlkp_spark.index.build import stats_term_dict_agg, token_table
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "a"], ["a b"]) for i in range(8)],
+        "doc_id long, tokens array<string>, keyphrases array<string>")
+    tokens = token_table(docs)
+    plan = plan_of(stats_term_dict_agg(tokens))
+    assert plan.count("Expand") == 1, plan
+    # exactly two exchanges end-to-end: token_table's tf aggregation and
+    # the combined stats aggregation — no third (distinct) pass
+    assert plan.count("Exchange") == 2, plan
+    assert "HashAggregate" in plan and "Distinct" not in plan, plan
+
+
 def test_simhash_single_shuffle(spark):
     """The signature aggregate must be ONE exchange keyed on doc_id."""
     from dlkp_spark.pipeline.dedup import simhash_signatures
