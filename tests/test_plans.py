@@ -185,6 +185,31 @@ def test_stats_pass_is_one_expand_aggregate(spark):
     assert "HashAggregate" in plan and "Distinct" not in plan, plan
 
 
+def test_encode_join_broadcasts_term_dict(spark):
+    """The posting-encode job's (field, term) df join must broadcast the
+    term dictionary (built from the cached stats aggregate) rather than
+    shuffle the token table a second time: the only exchange between the
+    token cache and the encode kernel is the (term, field, segment)
+    repartition. (At cluster scale an over-threshold vocabulary falls
+    back to SMJ by Catalyst's own sizing — this pins the local/bench
+    shape.)"""
+    from dlkp_spark.index.build import stats_and_term_dict, token_table
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b"], ["a b"]) for i in range(8)],
+        "doc_id long, tokens array<string>, keyphrases array<string>")
+    tokens = token_table(docs).withColumn(
+        "segment", (F.col("doc_id") / F.lit(4)).cast("long")).persist()
+    _stats, dfs, grouped = stats_and_term_dict(tokens, 8)
+    joined = (tokens.join(dfs, ["field", "term"])
+              .repartition(4, "term", "field", "segment"))
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    tokens.unpersist()
+    grouped.unpersist()
+
+
 def test_simhash_single_shuffle(spark):
     """The signature aggregate must be ONE exchange keyed on doc_id."""
     from dlkp_spark.pipeline.dedup import simhash_signatures
