@@ -125,32 +125,57 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
 
     key = ["term", "field", "new_segment"]
 
-    def merge_group(g: pd.DataFrame) -> dict:
-        parts = []
-        for r in g.itertuples(index=False):
-            d, t, dl = decode_postings(r.docs_vb, r.tfs_vb, r.dls_vb)
-            parts.append((d, t, dl))
-        # sub-lists cover disjoint doc ranges but may share a segment id
-        # (e.g. streamed batches meeting at a segment boundary) — order by
-        # each part's first doc id so the concatenation stays sorted
-        parts.sort(key=lambda p: int(p[0][0]))
-        docs_parts = [p[0] for p in parts]
-        tfs_parts = [p[1] for p in parts]
-        dls_parts = [p[2] for p in parts]
-        field = int(g["field"].iloc[0])
-        enc = encode_postings(
-            np.concatenate(docs_parts), np.concatenate(tfs_parts),
-            np.concatenate(dls_parts),
-            idf=idf_fn(n_docs, int(g["df"].iloc[0])),
-            avgdl=avgdl[field], p=cfg.bm25, block_size=cfg.block_size)
-        return {
-            "term": g["term"].iloc[0], "field": field,
-            "segment": int(g["new_segment"].iloc[0]),
-            "df": int(g["df"].iloc[0]), "n_postings": enc["n_postings"],
-            "docs_vb": enc["docs_vb"], "tfs_vb": enc["tfs_vb"],
-            "dls_vb": enc["dls_vb"], "block_max": enc["block_max"],
-            "block_last": enc["block_last"], "max_contrib": enc["max_contrib"],
-        }
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized group iteration: numpy change-point detection over
+        the sorted keys + positional slices of column arrays — pandas
+        ``groupby``/``itertuples``/``iloc`` over ~10^5 tiny groups cost
+        more than the decode+encode itself (profiled: ~70% of kernel time
+        before this rewrite; same finding as build._encode_partition)."""
+        terms = pdf["term"].to_numpy()
+        fields = pdf["field"].to_numpy()
+        segs = pdf["new_segment"].to_numpy()
+        dfs = pdf["df"].to_numpy()
+        docs_vb = pdf["docs_vb"].to_numpy()
+        tfs_vb = pdf["tfs_vb"].to_numpy()
+        dls_vb = pdf["dls_vb"].to_numpy()
+        n = len(pdf)
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
+            | (segs[1:] != segs[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [n]))
+        out = {k: [] for k in ("term", "field", "segment", "df", "n_postings",
+                               "docs_vb", "tfs_vb", "dls_vb", "block_max",
+                               "block_last", "max_contrib")}
+        for s, e in zip(starts, ends):
+            parts = [decode_postings(docs_vb[i], tfs_vb[i], dls_vb[i])
+                     for i in range(s, e)]
+            # sub-lists cover disjoint doc ranges but may share a segment
+            # id (e.g. streamed batches meeting at a segment boundary) —
+            # order by each part's first doc id so the concatenation stays
+            # sorted (the within-partition sort on source ``segment``
+            # already orders the common case)
+            if e - s > 1:
+                parts.sort(key=lambda p: int(p[0][0]))
+            field = int(fields[s])
+            enc = encode_postings(
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+                idf=idf_fn(n_docs, int(dfs[s])),
+                avgdl=avgdl[field], p=cfg.bm25, block_size=cfg.block_size)
+            out["term"].append(terms[s])
+            out["field"].append(field)
+            out["segment"].append(int(segs[s]))
+            out["df"].append(int(dfs[s]))
+            out["n_postings"].append(enc["n_postings"])
+            out["docs_vb"].append(enc["docs_vb"])
+            out["tfs_vb"].append(enc["tfs_vb"])
+            out["dls_vb"].append(enc["dls_vb"])
+            out["block_max"].append(enc["block_max"])
+            out["block_last"].append(enc["block_last"])
+            out["max_contrib"].append(enc["max_contrib"])
+        return pd.DataFrame(out)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -165,9 +190,9 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             carry = pdf[is_last].copy()
             body = pdf[~is_last]
             if not body.empty:
-                yield pd.DataFrame([merge_group(g) for _, g in body.groupby(key, sort=False)])
+                yield encode_block(body)
         if carry is not None and not carry.empty:
-            yield pd.DataFrame([merge_group(g) for _, g in carry.groupby(key, sort=False)])
+            yield encode_block(carry)
 
     merged = (postings
               .repartition(cfg.n_term_partitions, "term", "field", "new_segment")
@@ -176,8 +201,13 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
 
     tmp = out_dir + "._tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "segments", "shard=0"))
-    n_rows = spark.read.parquet(os.path.join(tmp, "segments")).count()
+    shard_dir = os.path.join(tmp, "segments", "shard=0")
+    merged.write.mode("overwrite").parquet(shard_dir)
+    # row count from parquet footers — no extra Spark job (same as the
+    # build's per-shard commit accounting)
+    import pyarrow.parquet as pq
+    n_rows = sum(pq.ParquetFile(os.path.join(shard_dir, f)).metadata.num_rows
+                 for f in os.listdir(shard_dir) if f.endswith(".parquet"))
     os.makedirs(tmp, exist_ok=True)
     mf.commit_dataset(tmp, out_dir)
     new_stats = dict(stats)
