@@ -272,6 +272,96 @@ def viterbi_decode_topk(logits, transitions, start=None,
     return out
 
 
+def crf_log_likelihood(logits, tags, transitions, start=None, end=None,
+                       mask=None) -> float:
+    """CRF log-likelihood of one tag sequence (SURVEY §2.3 M11; reference
+    ConditionalRandomField.forward, crf.py:176-195, with its
+    _input_likelihood denominator crf.py:71-119 and _joint_likelihood
+    numerator crf.py:121-175).
+
+    log P(tags | logits) = score(tags) − logsumexp over ALL tag paths,
+    with optional start/end transition vectors and a boolean mask whose
+    False positions are skipped (the reference's padding semantics: a
+    masked step keeps the previous forward alpha and contributes neither
+    emission nor transition). Gold tags of -100 are masked out, mirroring
+    forward()'s `mask[tags == -100] = 0`.
+
+    numpy forward algorithm — O(n·K²), no path enumeration; brute-force
+    path-sum parity is pinned by tests/test_viterbi.py.
+    """
+    import numpy as np
+
+    logits = np.asarray(logits, dtype=np.float64)
+    tags = np.asarray(tags, dtype=np.int64)
+    n, k = logits.shape
+    mask = np.ones(n, dtype=bool) if mask is None else np.asarray(mask, dtype=bool).copy()
+    mask[tags == -100] = False
+    tags = np.where(tags == -100, 0, tags)
+    start = np.zeros(k) if start is None else np.asarray(start, dtype=np.float64)
+    end = np.zeros(k) if end is None else np.asarray(end, dtype=np.float64)
+    if not mask.any():
+        return 0.0
+
+    def _logsumexp(a, axis):
+        m = a.max(axis=axis, keepdims=True)
+        return (m + np.log(np.exp(a - m).sum(axis=axis, keepdims=True))).squeeze(axis)
+
+    # denominator: forward algorithm with mask-skip
+    alpha = start + logits[0]
+    for i in range(1, n):
+        if mask[i]:
+            alpha = _logsumexp(alpha[:, None] + transitions + logits[i][None, :], axis=0)
+    denom = _logsumexp(alpha + end, axis=0)
+
+    # numerator: gold path score under the same masking rules
+    score = start[tags[0]]
+    for i in range(n - 1):
+        if mask[i + 1]:
+            score += transitions[tags[i], tags[i + 1]]
+        if mask[i]:
+            score += logits[i, tags[i]]
+    last = int(np.flatnonzero(mask)[-1])
+    score += end[tags[last]]
+    if mask[n - 1]:
+        score += logits[n - 1, tags[n - 1]]
+    return float(score - denom)
+
+
+def crf_loss_table(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, log_likelihood) — per-document CRF training loss
+    of the Viterbi-decoded tags under the stand-in potentials, as a
+    batched Arrow operator (the distributed shape of an evaluation/
+    fine-tuning loss pass; reference runs this inside the HF Trainer,
+    train_eval_kp_tagger.py — here it is a first-class engine operator).
+    """
+    import numpy as np
+
+    from dlkp_spark.analysis.analyzer import tokenize_py
+
+    trans, start = _crf_params()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, counts, lls = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text)
+                if toks:
+                    logits = np.array([token_potentials(t) for t in toks])
+                    path, _ = viterbi_decode_np(logits, trans, start)
+                    ll = crf_log_likelihood(logits, path, trans, start)
+                else:
+                    ll = 0.0
+                ids.append(doc_id)
+                counts.append(len(toks))
+                lls.append(ll)
+            yield pd.DataFrame({"doc_id": ids, "n_tokens": counts,
+                                "log_likelihood": lls})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, "doc_id long, n_tokens int, log_likelihood double")
+
+
 def tag_tokens_viterbi(tokens: list[str]) -> tuple[list[str], list[float]]:
     """Viterbi-decoded BIO tags + pseudo-softmax confidence per token."""
     import numpy as np

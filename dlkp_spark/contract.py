@@ -284,6 +284,27 @@ def q_keyphrase_extract(spark, sf_dir):
             .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
 
 
+def q_crf_loss(spark, sf_dir):
+    """rows-only: per-document CRF log-likelihood of the Viterbi-decoded
+    tags (SURVEY §2.3 M11, reference crf.py:176-195 forward). The
+    logsumexp forward recursion is not practically SQL-replayable; the
+    kernel is pytest-pinned against full path enumeration
+    (tests/test_viterbi.py::test_crf_log_likelihood_matches_brute_force)
+    and the padding-mask semantics against truncation. Aggregated to a
+    stable per-source summary so the rows-only check still covers every
+    document."""
+    from dlkp_spark.analysis.keyphrase import crf_loss_table
+
+    ensure_shipped(spark)
+    losses = crf_loss_table(_docs(spark, sf_dir))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (losses.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("log_likelihood"), 4).alias("sum_ll"),
+                 F.round(F.max("log_likelihood"), 6).alias("max_ll")))
+
+
 def _tag_rules():
     """Deterministic per-token BIO tag rules (pred vs gold differ so spans
     overlap partially) — expressible identically in Spark and ANSI SQL."""
@@ -1374,6 +1395,7 @@ QUERIES = {
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
+    "crf_loss": (q_crf_loss, None),
     "keyphrase_extract_ruled": (q_keyphrase_extract_ruled, SQL_BIO_EXTRACT),
     "bio_extract": (q_bio_extract, SQL_BIO_EXTRACT),
     "tag_metrics": (q_tag_metrics, SQL_TAG_METRICS),

@@ -10,6 +10,7 @@ import pytest
 
 from dlkp_spark.analysis.keyphrase import (
     _crf_params,
+    crf_log_likelihood,
     tag_tokens_viterbi,
     token_potentials,
     viterbi_decode_np,
@@ -133,6 +134,81 @@ def test_viterbi_topk_respects_bio_constraints():
         assert tags[0] != "I"
         for prev, cur in zip(tags, tags[1:]):
             assert not (prev == "O" and cur == "I")
+
+
+def brute_force_ll(logits, gold, transitions, start, end):
+    """Path-enumeration oracle for the CRF log-likelihood (M11): gold path
+    score minus logsumexp over every path, start/end transitions applied."""
+    n, k = logits.shape
+
+    def path_score(path):
+        s = start[path[0]] + logits[0][path[0]]
+        for t in range(1, n):
+            s += transitions[path[t - 1], path[t]] + logits[t][path[t]]
+        return s + end[path[-1]]
+
+    all_scores = np.array([path_score(p) for p in product(range(k), repeat=n)])
+    m = all_scores.max()
+    denom = m + np.log(np.exp(all_scores - m).sum())
+    return float(path_score(gold) - denom)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_crf_log_likelihood_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 6))
+    k = int(rng.integers(2, 4))
+    logits = rng.normal(size=(n, k))
+    trans = rng.normal(size=(k, k))
+    start = rng.normal(size=k)
+    end = rng.normal(size=k)
+    gold = [int(x) for x in rng.integers(0, k, size=n)]
+    got = crf_log_likelihood(logits, gold, trans, start, end)
+    want = brute_force_ll(logits, gold, trans, start, end)
+    assert got == pytest.approx(want, abs=1e-10)
+    # a probability: never positive, and exp sums to 1 over all gold paths
+    assert got <= 1e-12
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_crf_ll_padding_mask_equals_truncation(seed):
+    """Reference padding semantics (crf.py:102-110,171-175): trailing
+    masked positions must contribute nothing — the masked LL equals the LL
+    of the truncated sequence. -100 gold tags mask their position
+    (forward(): mask[tags == -100] = 0)."""
+    rng = np.random.default_rng(seed)
+    n, pad, k = 4, 2, 3
+    logits = rng.normal(size=(n + pad, k))
+    trans = rng.normal(size=(k, k))
+    start = rng.normal(size=k)
+    end = rng.normal(size=k)
+    gold = [int(x) for x in rng.integers(0, k, size=n)]
+    padded = gold + [-100] * pad
+    got = crf_log_likelihood(logits, padded, trans, start, end)
+    want = crf_log_likelihood(logits[:n], gold, trans, start, end)
+    assert got == pytest.approx(want, abs=1e-10)
+
+
+def test_crf_loss_table_spark(spark):
+    """The distributed loss operator: finite, non-positive LL per doc,
+    0.0 for empty docs, and the per-doc value equals the local kernel."""
+    from dlkp_spark.analysis.keyphrase import crf_loss_table
+    from dlkp_spark.analysis.analyzer import tokenize_py
+
+    rows = [(0, "the data query is fast"), (1, ""), (2, "compression layout")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in crf_loss_table(docs).collect()}
+    assert got[1]["log_likelihood"] == 0.0 and got[1]["n_tokens"] == 0
+    trans, start = _crf_params()
+    for doc_id, text in rows:
+        toks = tokenize_py(text)
+        if not toks:
+            continue
+        logits = np.array([token_potentials(t) for t in toks])
+        path, _ = viterbi_decode_np(logits, trans, start)
+        want = crf_log_likelihood(logits, path, trans, start)
+        assert got[doc_id]["log_likelihood"] == pytest.approx(want, abs=1e-12)
+        assert got[doc_id]["log_likelihood"] <= 0.0
 
 
 def test_viterbi_tags_respect_bio_constraints():
