@@ -79,6 +79,37 @@ def test_merge_default_cfg_inherits_source_block_size(spark, dirs):
     assert load_stats(out)["block_size"] == CFG.block_size
 
 
+def test_merge_killed_before_commit_leaves_source_intact_and_reruns(spark, dirs):
+    """Kill window between the staged ._tmp write and commit_dataset's
+    atomic rename: the source index must be untouched and stale staged
+    bytes must not poison a rerun — it overwrites the stale staging dir
+    and produces the identical merged index."""
+    import os
+    import shutil
+
+    src, out = dirs
+    want = sorted(map(tuple, load_postings(spark, out)
+                      .select("term", "field", "segment", "docs_vb").collect()))
+    out3 = os.path.join(os.path.dirname(out), "merged_kill")
+    # simulate the crash: a prior attempt staged data but never committed
+    shutil.copytree(out + "._tmp", out3 + "._tmp", dirs_exist_ok=True) \
+        if os.path.isdir(out + "._tmp") else None
+    stale = os.path.join(out3 + "._tmp", "segments", "shard=0")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")     # poison: must be wiped, not merged in
+    assert not os.path.isdir(out3), "nothing visible before commit"
+    src_before = sorted(map(tuple, load_postings(spark, src)
+                            .select("term", "field", "segment").collect()))
+    merge_segments(spark, src, out3, factor=2, cfg=CFG)
+    got = sorted(map(tuple, load_postings(spark, out3)
+                     .select("term", "field", "segment", "docs_vb").collect()))
+    assert got == want, "rerun after kill produced a different index"
+    src_after = sorted(map(tuple, load_postings(spark, src)
+                           .select("term", "field", "segment").collect()))
+    assert src_after == src_before, "merge touched the source index"
+
+
 def test_merge_is_atomic_on_rerun(spark, dirs):
     src, out = dirs
     # merging again over the merged index into a new dir works and halves again
