@@ -73,6 +73,67 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def varbyte_decode_concat(buffers) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY varbyte streams in one vectorized pass.
+
+    Varbyte is self-delimiting (a value always ends on a MSB=0 byte), so
+    the concatenation of complete streams decodes exactly like one stream;
+    per-stream value counts are recovered from terminator-byte prefix sums
+    over each buffer's byte range. Returns (values uint64 flat, counts
+    int64 per buffer).
+
+    Why: the query kernels decode ~10^3 tiny posting rows per segment —
+    per-call numpy overhead (a dozen small-array ops per row × 3 columns)
+    measured ~0.2 ms/row, dominating segment decode time. One pass over
+    the concatenated bytes amortizes it away.
+    """
+    lens = np.fromiter((len(b) for b in buffers), dtype=np.int64,
+                       count=len(buffers))
+    buf = b"".join(buffers)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(lens), dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_last)[:-1]
+    n_values = int(is_last.sum())
+    starts_mask = np.ones(b.size, dtype=bool)
+    starts_mask[1:] = is_last[:-1]
+    start_idx = np.flatnonzero(starts_mask)
+    pos = np.arange(b.size) - np.repeat(
+        start_idx, np.diff(np.append(start_idx, b.size)))
+    contrib = (b & 0x7F).astype(np.uint64) << (pos.astype(np.uint64) * np.uint64(7))
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    cum_last = np.concatenate(([0], np.cumsum(is_last)))
+    ends = np.cumsum(lens)
+    counts = cum_last[ends] - cum_last[ends - lens]
+    return out, counts
+
+
+def decode_postings_batch(docs_vbs, tfs_vbs, dls_vbs) -> tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched :func:`decode_postings` over aligned blob sequences.
+
+    Returns flat (doc_ids int64, tfs int64, dls int64, counts int64);
+    list ``i`` occupies the slice ``[offsets[i], offsets[i]+counts[i])``
+    with ``offsets = concatenate(([0], cumsum(counts)[:-1]))``. Per-list
+    values are bit-identical to decode_postings (pytest-pinned): the
+    delta decode runs as one global cumsum with each list's prefix offset
+    subtracted — integer arithmetic, no reassociation.
+    """
+    gaps, counts = varbyte_decode_concat(docs_vbs)
+    cs = np.cumsum(gaps.astype(np.int64))
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    offsets = np.where(starts > 0, cs[starts - 1], 0)
+    docs = cs - np.repeat(offsets, counts)
+    tfs, c2 = varbyte_decode_concat(tfs_vbs)
+    dls, c3 = varbyte_decode_concat(dls_vbs)
+    assert np.array_equal(counts, c2) and np.array_equal(counts, c3), \
+        "posting columns disagree on list lengths — corrupt row"
+    return docs, tfs.astype(np.int64), dls.astype(np.int64), counts
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     d = np.asarray(doc_ids, dtype=np.int64)
     out = np.empty_like(d)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from dlkp_spark.config import FIELD_KP, BM25Params
 from dlkp_spark.index.build import load_postings, load_stats
-from dlkp_spark.index.codec import decode_postings, tf_norm_vec
+from dlkp_spark.index.codec import decode_postings_batch
 from dlkp_spark.oracle import idf as idf_fn
 
 
@@ -200,17 +200,44 @@ def merge_topk(partials: Iterable[tuple[int, float]], k: int) -> list[tuple[int,
 
 
 def _decode_group(g: pd.DataFrame, stats: dict, p: BM25Params) -> list[dict]:
+    """Decode every posting row of one group in ONE batched codec pass.
+
+    The varbyte/delta decode of all rows runs as a single vectorized pass
+    over the concatenated blobs (codec.decode_postings_batch — per-row
+    calls cost ~0.2 ms each in numpy overhead alone), and the BM25
+    contributions are computed flat with per-row idf/avgdl repeated to
+    posting granularity; per-element float expressions are unchanged, so
+    per-list values stay bit-identical to row-at-a-time decode
+    (tests/test_codec.py pins both).
+    """
+    n = len(g)
+    if n == 0:
+        return []
+    docs_f, tfs_f, dls_f, counts = decode_postings_batch(
+        g["docs_vb"].tolist(), g["tfs_vb"].tolist(), g["dls_vb"].tolist())
+    fields = g["field"].to_numpy()
+    dfv = g["df"].to_numpy()
+    idfs = np.array([idf_fn(stats["n_docs"], int(d)) for d in dfv])
+    avgdls = np.array([stats["avgdl"][int(f)] for f in fields])
+    tff = tfs_f.astype(np.float64)
+    dlf = dls_f.astype(np.float64)
+    rep_avg = np.repeat(avgdls, counts)
+    # same expression order as tf_norm_vec, element-wise scalar→array
+    tfn = (tff * (p.k1 + 1.0)) / (tff + p.k1 * (1.0 - p.b + p.b * dlf / rep_avg))
+    contribs_f = np.repeat(idfs, counts) * tfn
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    terms = g["term"].to_numpy()
+    bmax = g["block_max"].to_numpy()
+    blast = g["block_last"].to_numpy()
     lists = []
-    for r in g.itertuples(index=False):
-        docs, tfs, dls = decode_postings(r.docs_vb, r.tfs_vb, r.dls_vb)
-        contribs = idf_fn(stats["n_docs"], int(r.df)) * tf_norm_vec(
-            tfs, dls, stats["avgdl"][int(r.field)], p)
+    for i in range(n):
+        s, e = offsets[i], offsets[i + 1]
         lists.append({
-            "term": r.term, "field": int(r.field),
-            "boost": p.kp_boost if int(r.field) == FIELD_KP else 1.0,
-            "docs": docs, "contribs": contribs,
-            "block_max": np.asarray(r.block_max, dtype=np.float64),
-            "block_last": np.asarray(r.block_last, dtype=np.int64),
+            "term": terms[i], "field": int(fields[i]),
+            "boost": p.kp_boost if int(fields[i]) == FIELD_KP else 1.0,
+            "docs": docs_f[s:e], "contribs": contribs_f[s:e],
+            "block_max": np.asarray(bmax[i], dtype=np.float64),
+            "block_last": np.asarray(blast[i], dtype=np.int64),
         })
     return lists
 

@@ -6,11 +6,13 @@ from hypothesis import strategies as st
 from dlkp_spark.config import BM25Params
 from dlkp_spark.index.codec import (
     decode_postings,
+    decode_postings_batch,
     delta_decode,
     delta_encode,
     encode_postings,
     tf_norm_vec,
     varbyte_decode,
+    varbyte_decode_concat,
     varbyte_encode,
 )
 
@@ -37,6 +39,81 @@ def test_varbyte_roundtrip_property(vals):
 def test_delta_roundtrip(ids):
     arr = np.sort(np.array(ids, dtype=np.int64))
     assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**40), max_size=60),
+                min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_varbyte_concat_decode_equals_per_stream(streams):
+    bufs = [varbyte_encode(np.array(s, dtype=np.uint64)) for s in streams]
+    vals, counts = varbyte_decode_concat(bufs)
+    assert counts.tolist() == [len(s) for s in streams]
+    off = 0
+    for s in streams:
+        assert np.array_equal(vals[off:off + len(s)],
+                              np.array(s, dtype=np.uint64))
+        off += len(s)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_decode_postings_batch_bit_identical_to_row_at_a_time(data):
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    n_lists = data.draw(st.integers(1, 12))
+    rows = []
+    for _ in range(n_lists):
+        n = int(rng.integers(1, 80))
+        docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, size=n).astype(np.int64)
+        dls = rng.integers(1, 400, size=n).astype(np.int64)
+        enc = encode_postings(docs, tfs, dls, idf=1.0, avgdl=100.0,
+                              p=BM25Params(), block_size=8)
+        rows.append((enc["docs_vb"], enc["tfs_vb"], enc["dls_vb"]))
+    d_f, t_f, l_f, counts = decode_postings_batch(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows])
+    off = 0
+    for (dv, tv, lv), c in zip(rows, counts):
+        d1, t1, l1 = decode_postings(dv, tv, lv)
+        assert np.array_equal(d_f[off:off + c], d1)
+        assert np.array_equal(t_f[off:off + c], t1)
+        assert np.array_equal(l_f[off:off + c], l1)
+        off += c
+
+
+def test_decode_group_batch_bit_identical(spark_noop=None):
+    """wand._decode_group (batched codec + flat contribs) must produce
+    bit-identical docs/contribs to row-at-a-time decode + tf_norm_vec."""
+    import pandas as pd
+
+    from dlkp_spark.oracle import idf as idf_fn
+    from dlkp_spark.query.wand import _decode_group
+
+    rng = np.random.default_rng(7)
+    p = BM25Params()
+    stats = {"n_docs": 500, "avgdl": {0: 123.456, 1: 7.89}}
+    rows = []
+    for i in range(25):
+        n = int(rng.integers(1, 60))
+        docs = np.sort(rng.choice(5000, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, size=n).astype(np.int64)
+        dls = rng.integers(1, 400, size=n).astype(np.int64)
+        field = int(rng.integers(0, 2))
+        df_val = int(rng.integers(1, 400))
+        enc = encode_postings(docs, tfs, dls, idf=idf_fn(500, df_val),
+                              avgdl=stats["avgdl"][field], p=p, block_size=8)
+        rows.append({"term": f"t{i%7}", "field": field, "df": df_val,
+                     "docs_vb": enc["docs_vb"], "tfs_vb": enc["tfs_vb"],
+                     "dls_vb": enc["dls_vb"], "block_max": enc["block_max"],
+                     "block_last": enc["block_last"]})
+    g = pd.DataFrame(rows)
+    got = _decode_group(g, stats, p)
+    assert len(got) == len(rows)
+    for lst, r in zip(got, rows):
+        d1, t1, l1 = decode_postings(r["docs_vb"], r["tfs_vb"], r["dls_vb"])
+        want = idf_fn(500, r["df"]) * tf_norm_vec(
+            t1, l1, stats["avgdl"][r["field"]], p)
+        assert np.array_equal(lst["docs"], d1)
+        assert np.array_equal(lst["contribs"], want)  # exact, not approx
 
 
 def test_encode_decode_postings_roundtrip():
