@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from dlkp_spark.config import IndexConfig
 from dlkp_spark.index import manifest as mf
 from dlkp_spark.index.build import POSTINGS_SCHEMA, load_postings, load_stats
-from dlkp_spark.index.codec import decode_postings, encode_postings
+from dlkp_spark.index.codec import decode_postings_batch, encode_postings
 from dlkp_spark.oracle import idf as idf_fn
 
 
@@ -135,10 +135,12 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
         fields = pdf["field"].to_numpy()
         segs = pdf["new_segment"].to_numpy()
         dfs = pdf["df"].to_numpy()
-        docs_vb = pdf["docs_vb"].to_numpy()
-        tfs_vb = pdf["tfs_vb"].to_numpy()
-        dls_vb = pdf["dls_vb"].to_numpy()
         n = len(pdf)
+        # all rows of the batch decode in ONE vectorized codec pass
+        # (row-at-a-time decode costs ~0.2 ms/row in numpy call overhead)
+        d_f, t_f, l_f, counts = decode_postings_batch(
+            pdf["docs_vb"].tolist(), pdf["tfs_vb"].tolist(), pdf["dls_vb"].tolist())
+        offs = np.concatenate(([0], np.cumsum(counts)))
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
             | (segs[1:] != segs[:-1]))
@@ -148,8 +150,8 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
                                "docs_vb", "tfs_vb", "dls_vb", "block_max",
                                "block_last", "max_contrib")}
         for s, e in zip(starts, ends):
-            parts = [decode_postings(docs_vb[i], tfs_vb[i], dls_vb[i])
-                     for i in range(s, e)]
+            parts = [(d_f[offs[i]:offs[i + 1]], t_f[offs[i]:offs[i + 1]],
+                      l_f[offs[i]:offs[i + 1]]) for i in range(s, e)]
             # sub-lists cover disjoint doc ranges but may share a segment
             # id (e.g. streamed batches meeting at a segment boundary) —
             # order by each part's first doc id so the concatenation stays
