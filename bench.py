@@ -136,6 +136,49 @@ def main() -> None:
     shutil.rmtree(os.path.dirname(merged_dir), ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # -- two-wave segment pruning on a SELECTIVE query set ------------------
+    # the 100×-scale path (round-5 item #1): a skewed corpus where each
+    # query's top-k is decided inside one doc-range segment while the term
+    # still appears (tf=1 noise) in EVERY segment — so the term-match join
+    # prunes nothing and only the metadata upper-bound gate can skip work.
+    from pyspark.sql import functions as F
+
+    from dlkp_spark.query.wand import two_wave_pair_counts
+
+    seg_docs = 256
+    n_hot = min(50, n_docs // seg_docs)
+    skew_rows = []
+    for i in range(n_docs):
+        seg = i // seg_docs
+        toks = ["the"] * 6 + ["data", "query", "filler"]
+        if seg < n_hot:
+            toks += [f"hot{seg}"] * 8
+        # tf 1-3 noise for EVERY hot term in EVERY doc: the term-match join
+        # prunes nothing, only the metadata upper-bound gate can skip work
+        for j in range(n_hot):
+            toks += [f"hot{j}"] * (1 + (i * 7 + j) % 3)
+        skew_rows.append((i, toks))
+    skew_docs = (spark.createDataFrame(skew_rows, "doc_id long, tokens array<string>")
+                 .withColumn("keyphrases", F.array().cast("array<string>")))
+    skew_dir = tempfile.mkdtemp(prefix="bench_skew_") + "/idx"
+    build_index(spark, skew_docs, skew_dir, cfg=frag_cfg, n_shards=1,
+                resume=False, n_docs=n_docs)
+    sel_queries = [(j, [f"hot{j}"]) for j in range(n_hot)]
+    timings["bm25_selective_1wave"] = best_of(
+        lambda: batch_topk(spark, skew_dir, sel_queries, BM25Params(), k=10).count())
+    timings["bm25_selective_2wave"] = best_of(
+        lambda: batch_topk(spark, skew_dir, sel_queries, BM25Params(), k=10,
+                           two_wave=True).count())
+    pc = two_wave_pair_counts(spark, skew_dir, sel_queries, BM25Params(), k=10)
+    extra["two_wave_pairs_total"] = pc["pairs_total"]
+    extra["two_wave_pairs_skipped"] = pc["pairs_skipped"]
+    # scale-transferable metric: fraction of posting entries the pruned
+    # path decodes+scores — per-pair kernel work is what dominates at
+    # 10^12 docs, while local wall-clock is mostly fixed stage constants
+    extra["two_wave_postings_frac"] = round(
+        pc["postings_scored"] / max(pc["postings_total"], 1), 4)
+    shutil.rmtree(os.path.dirname(skew_dir), ignore_errors=True)
+
     # -- headline contract queries at the sf dir ----------------------------
     # (exact ngram_jaccard is the sf0.01 oracle variant — quadratic by
     # design; the scale-path dedup ops benched here are minhash + simhash)
@@ -175,6 +218,9 @@ def main() -> None:
         "wand_queries_per_sec": round(extra["wand_queries_per_sec"], 1),
         "compact_query_sec_before": extra["compact_query_sec_before"],
         "compact_query_sec_after": extra["compact_query_sec_after"],
+        "two_wave_pairs_total": extra["two_wave_pairs_total"],
+        "two_wave_pairs_skipped": extra["two_wave_pairs_skipped"],
+        "two_wave_postings_frac": extra["two_wave_postings_frac"],
     }
     shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
     spark.stop()

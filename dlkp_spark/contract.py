@@ -195,6 +195,25 @@ def q_bm25_wand_topk(spark, sf_dir):
             .select("rank", "doc_id"))
 
 
+def q_bm25_twowave_topk(spark, sf_dir):
+    """Compressed-index BATCH path with two-wave segment pruning enabled
+    (round-5 scale item: JVM-side Σ max_contrib upper bounds skip
+    (query, segment) pairs that cannot beat the wave-1 exact threshold).
+    Pruning is admissible, so results must equal the plain-SQL BM25 batch
+    oracle bit-for-bit — the same oracle that gates the one-wave path."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("twowaveidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
+                       two_wave=True)
+            .select("query_id", "rank", "doc_id"))
+
+
 def q_kp_seed_hits(spark, sf_dir):
     t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
     return (t.filter(F.col("term").isin(KP_SEEDS))
@@ -1391,6 +1410,7 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_topk_batch": (q_bm25_topk_batch, SQL_BM25_TOPK_BATCH),
     "bm25_wand_topk": (q_bm25_wand_topk, SQL_BM25_TOPK),
+    "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),

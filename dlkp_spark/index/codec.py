@@ -125,7 +125,13 @@ def decode_postings_batch(docs_vbs, tfs_vbs, dls_vbs) -> tuple[
     gaps, counts = varbyte_decode_concat(docs_vbs)
     cs = np.cumsum(gaps.astype(np.int64))
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    offsets = np.where(starts > 0, cs[starts - 1], 0)
+    # np.where evaluates cs[starts - 1] eagerly: when EVERY blob is empty,
+    # cs is empty while starts is all zeros and the -1 index would raise —
+    # guard with masked copyto (encode_postings never emits empty lists,
+    # but future callers may hand fully-empty batches)
+    offsets = np.zeros(len(starts), dtype=np.int64)
+    np.copyto(offsets, cs[starts - 1] if cs.size else offsets,
+              where=starts > 0)
     docs = cs - np.repeat(offsets, counts)
     tfs, c2 = varbyte_decode_concat(tfs_vbs)
     dls, c3 = varbyte_decode_concat(dls_vbs)

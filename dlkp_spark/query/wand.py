@@ -156,8 +156,17 @@ def bmw_topk_lists(lists: list[dict], k: int, block_size: int) -> list[tuple[int
 
 
 # doc-span ceiling for the dense exact kernel: above this the accumulator
-# buffer stops being cache/memory-friendly (8 MB at 1M docs) and list
-# lengths are where block-max pruning starts paying
+# buffer stops being cache/memory-friendly and list lengths are where
+# block-max pruning starts paying. Worst case at the cap is a 32 MB
+# float64 buffer (8 B × 2^22 docs) per concurrently-running kernel task —
+# bounded and deliberate: the width of a (query, segment) group is capped
+# by the index's ``segment_docs`` (doc-range segmentation, build.py), so
+# with the default IndexConfig.segment_docs (2^11..2^13 in this repo) the
+# dense path allocates KBs, and only an index built with multi-million-doc
+# segments (or a deeply compacted one — merge_segments multiplies
+# segment_docs by ``factor``) ever approaches the cap, at which point the
+# adaptive dispatch flips to BMW / sparse TAAT instead of allocating
+# beyond it.
 _DENSE_MAX_WIDTH = 1 << 22
 
 
@@ -252,9 +261,9 @@ def wand_topk(
     """Batch top-k over the compressed index → (query_id, rank, doc_id, score)."""
     p = p or BM25Params()
     k = k or p.k
-    stats = load_stats(index_dir)
-    stats = {"n_docs": stats["n_docs"], "avgdl": stats["avgdl"]}
-    block_size_meta = load_stats(index_dir).get("block_size", 64)
+    stats_all = load_stats(index_dir)
+    block_size_meta = stats_all.get("block_size", 64)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
 
     pairs = [(qid, t) for qid, terms in queries for t in sorted(set(terms))]
     if not pairs:
@@ -351,52 +360,56 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
     return [(base + int(cand[i]), float(sc[i])) for i in order]
 
 
-def batch_topk(
-    spark: SparkSession,
-    index_dir: str,
-    queries: list[tuple[int, list[str]]],
-    p: BM25Params | None = None,
-    k: int | None = None,
-) -> DataFrame:
-    """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
+                       dense_max_width: int = _DENSE_MAX_WIDTH):
+    """Per-segment applyInPandas kernel shared by the one-wave and
+    two-wave batch paths.
 
-    Unlike ``wand_topk`` (which replicates and re-decodes a posting row for
-    every query touching its term), this ships each (term, segment) posting
-    row exactly once, decodes it once, and scores every query against the
-    decoded lists with vectorized TAAT accumulation — the right trade at
-    batch sizes where most lists are shared between queries. Results are
-    bit-identical to wand_topk/oracle. Returns (query_id, rank, doc_id, score).
+    scoped=False scores EVERY query of ``qmap`` against the segment;
+    scoped=True reads the segment's surviving query-id list from the
+    joined ``qids`` column (two-wave pruning) and scores only those.
+
+    Adaptive width guard (ADVICE r4): the dense accumulator is only
+    allocated when the segment's doc-id span fits ``_DENSE_MAX_WIDTH`` —
+    repeated compaction multiplies ``segment_docs``, so an old index merged
+    many times can exceed it, in which case each query falls back to the
+    per-query adaptive kernel (``exact_topk_lists`` → BMW on wide spans)
+    instead of growing the per-task buffer unboundedly. Both branches are
+    exact and bit-identical (tests/test_wand_kernel.py).
     """
-    p = p or BM25Params()
-    k = k or p.k
-    stats_all = load_stats(index_dir)
-    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
-    qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
-    all_terms = sorted({t for _, terms in qmap for t in terms})
-    if not all_terms:
-        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-
-    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
-    postings = load_postings(spark, index_dir).join(F.broadcast(t_df), "term")
+    qterms = dict(qmap)
 
     def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        if scoped:
+            live = [(int(q), qterms[int(q)]) for q in g["qids"].iloc[0]]
+            g = g.drop(columns=["qids"])
+        else:
+            live = qmap
         lists = [lst for lst in _decode_group(g, stats, p) if len(lst["docs"])]
         qids, dids, scores = [], [], []
-        if lists:
+        if lists and live:
             # dense-accumulator setup: segment doc ids live in a bounded
             # contiguous range, so one reusable width-sized buffer serves
             # every query (see _taat_topk_dense)
             base = min(int(lst["docs"][0]) for lst in lists)
             width = max(int(lst["docs"][-1]) for lst in lists) - base + 1
+            dense = width <= dense_max_width
             by_term: dict[str, list[dict]] = {}
             for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
-                lst["cols"] = (lst["docs"] - base).astype(np.int64)
-                lst["vals"] = lst["boost"] * lst["contribs"]
+                if dense:
+                    lst["cols"] = (lst["docs"] - base).astype(np.int64)
+                    lst["vals"] = lst["boost"] * lst["contribs"]
                 by_term.setdefault(lst["term"], []).append(lst)
-            acc = np.zeros(width, dtype=np.float64)
-            for qid, terms in qmap:
+            acc = np.zeros(width, dtype=np.float64) if dense else None
+            for qid, terms in live:
                 q_lists = [lst for t in terms for lst in by_term.get(t, [])]
-                for d, s in _taat_topk_dense(q_lists, acc, base, k):
+                # non-dense fallback: the per-query adaptive kernel, which
+                # may still go dense for a query whose own lists span a
+                # narrow doc range, else BMW — never a segment-width buffer
+                top = (_taat_topk_dense(q_lists, acc, base, k) if dense
+                       else exact_topk_lists(q_lists, k, block_size,
+                                             dense_max_width))
+                for d, s in top:
                     qids.append(qid)
                     dids.append(d)
                     scores.append(s)
@@ -406,12 +419,194 @@ def batch_topk(
             "score": pd.Series(scores, dtype="float64"),
         })
 
-    partials = postings.groupBy("segment").applyInPandas(
+    return kernel
+
+
+def _scoped_partials(hits: DataFrame, pairs: DataFrame, kernel) -> DataFrame:
+    """Run the scoped batch kernel over exactly the (query, segment) pairs
+    given: fold the pair set into a per-segment query-id list (metadata
+    scale — one row per touched segment) and broadcast-join it onto the
+    posting rows, so each posting row still ships/decodes once per segment
+    and the kernel scores only that segment's surviving queries."""
+    seg_queries = pairs.groupBy("segment").agg(
+        F.array_sort(F.collect_list("query_id")).alias("qids"))
+    scoped = hits.join(F.broadcast(seg_queries), "segment")
+    return scoped.groupBy("segment").applyInPandas(
         kernel, "query_id long, doc_id long, score double")
+
+
+def batch_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    two_wave: bool = False,
+    wave1_segments: int = 1,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    Unlike ``wand_topk`` (which replicates and re-decodes a posting row for
+    every query touching its term), this ships each (term, segment) posting
+    row exactly once, decodes it once, and scores every query against the
+    decoded lists with vectorized TAAT accumulation — the right trade at
+    batch sizes where most lists are shared between queries. Results are
+    bit-identical to wand_topk/oracle. Returns (query_id, rank, doc_id, score).
+
+    two_wave=True enables SEGMENT PRUNING for selective queries — the
+    100×-scale path: at 10^12 docs a query term may appear in 10^5
+    doc-range segments, but a selective query's top-k is decided by the
+    few segments with high-impact postings. Wave 1 scores, per query, the
+    ``wave1_segments`` segments with the largest admissible upper bound
+    UB(q, seg) = Σ_terms max_contrib × field_boost (a JVM-side metadata
+    aggregate over posting-row columns — no blob is decoded) to seed an
+    exact threshold θ_q = the query's wave-1 kth score; wave 2 then scores
+    only the remaining (query, segment) pairs with UB ≥ θ_q. Dropped pairs
+    satisfy score ≤ UB < θ_q strictly, so they cannot even tie the kth
+    result — results are bit-identical to the one-wave path
+    (tests/test_two_wave.py), which stays the default for dense query sets
+    where upper bounds are non-discriminative (the extra metadata
+    aggregation + threshold join cost two small jobs).
+
+    ``postings`` optionally reuses an already-loaded (possibly persisted)
+    posting DataFrame — a long-running query service keeps the index hot
+    instead of re-listing parquet footers per batch.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    block_size_meta = stats_all.get("block_size", 64)
+    qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    hits = postings.join(F.broadcast(t_df), "term")
+
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (partials.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score"))
+    if not two_wave:
+        kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False)
+        partials = hits.groupBy("segment").applyInPandas(
+            kernel, "query_id long, doc_id long, score double")
+        return (partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score"))
+
+    kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True)
+    # per-(query, segment) admissible upper bound from posting METADATA
+    # columns only (max_contrib is written at encode time) — this scan
+    # reads no posting blobs (parquet column pruning) and aggregates to
+    # one row per (query, touched segment)
+    pair_rows = [(qid, t) for qid, terms in qmap for t in terms]
+    qt_df = spark.createDataFrame(pair_rows, "query_id long, term string")
+    boost = F.when(F.col("field") == FIELD_KP, F.lit(p.kp_boost)).otherwise(F.lit(1.0))
+    ub = (postings.select("term", "field", "segment", "max_contrib")
+          .join(F.broadcast(qt_df), "term")
+          .groupBy("query_id", "segment")
+          .agg(F.sum(F.col("max_contrib") * boost).alias("ub"))
+          .persist())
+    try:
+        uw = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("segment"))
+        w1_pairs = (ub.withColumn("rn", F.row_number().over(uw))
+                    .filter(F.col("rn") <= wave1_segments)
+                    .select("query_id", "segment"))
+        w1 = _scoped_partials(hits, w1_pairs, kernel).persist()
+        # exact per-query threshold: the kth wave-1 score (queries with
+        # fewer than k wave-1 hits have no row → no pruning for them)
+        theta = (w1.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == k)
+                 .select("query_id", F.col("score").alias("theta")))
+        w2_pairs = (ub.join(w1_pairs.withColumn("w1", F.lit(True)),
+                            ["query_id", "segment"], "left")
+                    .filter(F.col("w1").isNull())
+                    .join(theta, "query_id", "left")
+                    .filter(F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
+                    .select("query_id", "segment"))
+        w2 = _scoped_partials(hits, w2_pairs, kernel)
+        partials = w1.unionByName(w2)
+        out = (partials.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", "rank", "doc_id", "score"))
+        # materialize before unpersisting the upstream frames the plan reads
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ub.unpersist()
+        w1.unpersist()
+    return out
+
+
+def two_wave_pair_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    wave1_segments: int = 1,
+) -> dict:
+    """Diagnostic replay of batch_topk(two_wave=True)'s pruning decision:
+    returns {"pairs_total", "pairs_scored", "pairs_skipped",
+    "postings_total", "postings_scored"} — how many (query, segment)
+    pairs the upper-bound gate dropped, and the posting-entry volume
+    behind them (Σ n_postings of each pair's matched lists, from index
+    METADATA only). The postings ratio is the scale-transferable number:
+    per-pair decode+score work is what dominates at 10^12 docs, while
+    local wall-clock at bench scale is mostly fixed per-stage constants
+    (see BASELINE.md round-5 notes). Runs the same wave-1 kernel to obtain
+    the exact thresholds, so counts match what the query path actually
+    skips (used by tests + the bench demonstration)."""
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    block_size_meta = stats_all.get("block_size", 64)
+    qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
+    pair_rows = [(qid, t) for qid, terms in qmap for t in terms]
+    qt_df = spark.createDataFrame(pair_rows, "query_id long, term string")
+    postings = load_postings(spark, index_dir)
+    t_df = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, ts in qmap for t in ts})], "term string")
+    hits = postings.join(F.broadcast(t_df), "term")
+    boost = F.when(F.col("field") == FIELD_KP, F.lit(p.kp_boost)).otherwise(F.lit(1.0))
+    ub = (postings.select("term", "field", "segment", "max_contrib", "n_postings")
+          .join(F.broadcast(qt_df), "term")
+          .groupBy("query_id", "segment")
+          .agg(F.sum(F.col("max_contrib") * boost).alias("ub"),
+               F.sum("n_postings").alias("np"))
+          .persist())
+    try:
+        tot = ub.agg(F.count(F.lit(1)).alias("c"), F.sum("np").alias("s")).collect()[0]
+        uw = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("segment"))
+        w1_pairs = (ub.withColumn("rn", F.row_number().over(uw))
+                    .filter(F.col("rn") <= wave1_segments)
+                    .select("query_id", "segment", "np"))
+        kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True)
+        w1 = _scoped_partials(hits, w1_pairs.drop("np"), kernel)
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+        theta = (w1.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == k)
+                 .select("query_id", F.col("score").alias("theta")))
+        agg1 = w1_pairs.agg(F.count(F.lit(1)).alias("c"),
+                            F.sum("np").alias("s")).collect()[0]
+        agg2 = (ub.join(w1_pairs.select("query_id", "segment")
+                        .withColumn("w1", F.lit(True)),
+                        ["query_id", "segment"], "left")
+                .filter(F.col("w1").isNull())
+                .join(theta, "query_id", "left")
+                .filter(F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
+                .agg(F.count(F.lit(1)).alias("c"), F.sum("np").alias("s"))
+                .collect()[0])
+    finally:
+        ub.unpersist()
+    scored = int(agg1["c"]) + int(agg2["c"])
+    return {"pairs_total": int(tot["c"]), "pairs_scored": scored,
+            "pairs_skipped": int(tot["c"]) - scored,
+            "postings_total": int(tot["s"] or 0),
+            "postings_scored": int(agg1["s"] or 0) + int(agg2["s"] or 0)}
 
 
 def wand_topk_treereduce(
