@@ -406,7 +406,8 @@ def tag_and_extract(tokens: list[str], score_method: str = "avg",
 
 
 def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
-                    score_method: str = "avg", decode: str = "greedy") -> DataFrame:
+                    score_method: str = "avg", decode: str = "greedy",
+                    tagger=None) -> DataFrame:
     """Fused analyzer + tagger: one Python pass per Arrow batch.
 
     html→text extraction, tokenization, and BIO tagging all happen inside a
@@ -414,6 +415,11 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
     JVM↔Python between stages (chaining ``analyze`` → ``with_keyphrases``
     costs two extra Arrow transfers of the largest columns — measured ~2×
     build-time overhead at 20k docs).
+
+    ``tagger`` slots a real model into the fused pass (same seam as
+    ``with_keyphrases``) — e.g. ``tensor_model.broadcast_tagger`` ships
+    tensor weights via Spark broadcast and materializes the model once per
+    worker process.
     """
     from dlkp_spark.analysis.analyzer import extract_text_py, tokenize_py
 
@@ -430,7 +436,8 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
                     raise ValueError(
                         f"extracted text not byte-identical for urls: {bad.tolist()[:5]}")
             tokens = extracted.map(tokenize_py)
-            results = tokens.map(lambda toks: tag_and_extract(toks, score_method, decode))
+            results = tokens.map(
+                lambda toks: tag_and_extract(toks, score_method, decode, tagger))
             yield pd.DataFrame({
                 "url": pdf["url"], "warc_ts": pdf["warc_ts"], "text": extracted,
                 "lang": pdf["lang"], "tokens": tokens,

@@ -51,7 +51,7 @@ POSTINGS_SCHEMA = (
 
 
 def prepare_docs(web_pages: DataFrame, validate: bool = True,
-                 n_docs: int | None = None) -> DataFrame:
+                 n_docs: int | None = None, tagger=None) -> DataFrame:
     """web_pages → (url, warc_ts, text, lang, tokens, doc_id, keyphrases, kp_scores).
 
     Analyzer + tagger run FUSED in one Arrow pass and BEFORE doc-id
@@ -65,7 +65,7 @@ def prepare_docs(web_pages: DataFrame, validate: bool = True,
     """
     from dlkp_spark.analysis.keyphrase import analyze_and_tag
 
-    tagged = analyze_and_tag(web_pages, validate=validate)
+    tagged = analyze_and_tag(web_pages, validate=validate, tagger=tagger)
     return with_doc_ids(tagged, n_docs=n_docs,
                         key_source=web_pages.select("url"))
 
