@@ -31,8 +31,17 @@ from dlkp_spark.oracle import idf as idf_fn
 
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
-                   factor: int = 2, cfg: IndexConfig | None = None) -> dict:
+                   factor: int = 2, cfg: IndexConfig | None = None,
+                   n_shards: int = 4, resume: bool = True) -> dict:
     """Compact: segment' = segment // factor. Returns merge metrics.
+
+    Since round 5 the merged output commits SHARD-GRAINED, exactly like the
+    build (shard = merged segment % n_shards, all shards encoded in one
+    ``write.partitionBy`` job, each committed atomically with its own
+    manifest): a killed merge of a large index resumes from the committed
+    shards instead of restarting from zero — re-encoding only the
+    uncommitted remainder to an identical index (kill-window test in
+    tests/test_merge.py).
 
     Pick ``factor`` so the OUTPUT segment count stays well above the
     cluster's parallelism: query kernels (batch_topk/wand_topk) fan out
@@ -58,11 +67,13 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                 .withColumn("new_segment", (F.col("segment") / factor).cast("long")))
     return _merge_write(spark, postings, stats, out_dir, cfg,
                         lineage={"merged_from": index_dir, "factor": factor},
-                        segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor)
+                        segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor,
+                        n_shards=n_shards, resume=resume)
 
 
 def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
-                     cfg: IndexConfig | None = None) -> dict:
+                     cfg: IndexConfig | None = None,
+                     n_shards: int = 4, resume: bool = True) -> dict:
     """Fold streamed batch sub-indexes into one globally-consistent index.
 
     Streamed batches (streaming/ingest.py) carry batch-local stats, so
@@ -115,11 +126,13 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
     return _merge_write(spark, postings, stats, out_dir, cfg,
                         lineage={"reconciled_from": index_dir,
                                  "n_sub_indexes": len(all_stats)},
-                        segment_docs=stats["segment_docs"])
+                        segment_docs=stats["segment_docs"],
+                        n_shards=n_shards, resume=resume)
 
 
 def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
-                 cfg: IndexConfig, lineage: dict, segment_docs: int) -> dict:
+                 cfg: IndexConfig, lineage: dict, segment_docs: int,
+                 n_shards: int = 4, resume: bool = True) -> dict:
     avgdl = stats["avgdl"]
     n_docs = stats["n_docs"]
 
@@ -196,36 +209,62 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
         if carry is not None and not carry.empty:
             yield encode_block(carry)
 
-    merged = (postings
-              .repartition(cfg.n_term_partitions, "term", "field", "new_segment")
-              .sortWithinPartitions("term", "field", "new_segment", "segment")
-              .mapInPandas(kernel, POSTINGS_SCHEMA))
-
-    tmp = out_dir + "._tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shard_dir = os.path.join(tmp, "segments", "shard=0")
-    merged.write.mode("overwrite").parquet(shard_dir)
-    # row count from parquet footers — no extra Spark job (same as the
-    # build's per-shard commit accounting)
-    import pyarrow.parquet as pq
-    n_rows = sum(pq.ParquetFile(os.path.join(shard_dir, f)).metadata.num_rows
-                 for f in os.listdir(shard_dir) if f.endswith(".parquet"))
-    os.makedirs(tmp, exist_ok=True)
-    mf.commit_dataset(tmp, out_dir)
+    # shard-grained commit, mirroring build_index (round-5 item #4): the
+    # merge config-hash covers cfg AND the lineage descriptor, so a resume
+    # only ever skips shards committed by the SAME merge (same source,
+    # same factor/sub-index set) — a different merge into the same dir
+    # re-encodes everything.
+    ch = mf.config_hash((cfg, lineage, segment_docs, n_shards, "merge-v1"))
+    os.makedirs(out_dir, exist_ok=True)
     new_stats = dict(stats)
     new_stats["segment_docs"] = segment_docs
-    # blocks were just re-encoded with cfg.block_size — never carry the
-    # source index's stride forward (stale stride => wrong block_max/
-    # block_last indexing in wand_topk)
+    # blocks are re-encoded with cfg.block_size — never carry the source
+    # index's stride forward (stale stride => wrong block_max/block_last
+    # indexing in wand_topk)
     new_stats["block_size"] = cfg.block_size
     new_stats["avgdl"] = {str(k): v for k, v in avgdl.items()}
     if "dl_sums" in new_stats:
         new_stats["dl_sums"] = {str(k): v for k, v in new_stats["dl_sums"].items()}
     mf.write_global(out_dir, "stats.json", new_stats)
-    mf.write_shard_manifest(out_dir, 0, {
-        "shard": 0, "status": "committed",
-        "config_hash": new_stats.get("config_hash", ""),
-        "posting_rows": n_rows,
-        "lineage": lineage,
-    })
-    return {"posting_rows": n_rows, "lineage": lineage}
+
+    done = mf.completed_shards(out_dir, ch) if resume else set()
+    todo = [s for s in range(n_shards) if s not in done]
+    payloads: dict[int, dict] = {
+        s: dict(mf.read_shard_manifest(out_dir, s) or {"shard": s}, skipped=True)
+        for s in done}
+    if todo:
+        pending = postings
+        if len(todo) < n_shards:
+            pending = pending.filter(
+                (F.col("new_segment") % n_shards).isin([int(s) for s in todo]))
+        merged = (pending
+                  .repartition(cfg.n_term_partitions, "term", "field", "new_segment")
+                  .sortWithinPartitions("term", "field", "new_segment", "segment")
+                  .mapInPandas(kernel, POSTINGS_SCHEMA)
+                  .withColumn("shard", (F.col("segment") % n_shards).cast("int")))
+        tmp_root = os.path.join(out_dir, "_tmp", "merge")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("shard").parquet(tmp_root)
+        # row count from parquet footers — no extra Spark job (same as the
+        # build's per-shard commit accounting); each shard then commits
+        # atomically (tmp → rename) with its own manifest, so a kill
+        # mid-loop leaves earlier shards committed and later ones absent —
+        # exactly the resume contract the build already has
+        import pyarrow.parquet as pq
+        for shard in todo:
+            tmp = os.path.join(tmp_root, f"shard={shard}")
+            os.makedirs(tmp, exist_ok=True)  # shard may be empty of terms
+            files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            n_rows = sum(pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+                         for f in files)
+            mf.commit_dataset(tmp, os.path.join(out_dir, "segments", f"shard={shard}"))
+            payloads[shard] = {
+                "shard": shard, "status": "committed", "config_hash": ch,
+                "posting_rows": n_rows, "files": sorted(files),
+                "lineage": dict(lineage, filter=f"new_segment % {n_shards} == {shard}"),
+            }
+            mf.write_shard_manifest(out_dir, shard, payloads[shard])
+    shutil.rmtree(os.path.join(out_dir, "_tmp"), ignore_errors=True)
+    total_rows = sum(int(payloads[s].get("posting_rows", 0)) for s in payloads)
+    return {"posting_rows": total_rows, "lineage": lineage,
+            "shards": [payloads[s] for s in sorted(payloads)]}
