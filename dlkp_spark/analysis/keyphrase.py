@@ -327,6 +327,48 @@ def crf_log_likelihood(logits, tags, transitions, start=None, end=None,
     return float(score - denom)
 
 
+def crf_log_likelihood_direct(potentials, tags, transitions, start) -> float:
+    """Oracle-replayable twin of :func:`crf_log_likelihood` for TOY
+    magnitudes: the same forward-algorithm recursion, but with DIRECT
+    ``log(exp(..) + exp(..) + ..)`` per step (no max-shift) computed with
+    scalar libm ``math.exp``/``math.log`` in fixed left-to-right order.
+
+    Why it exists: DuckDB's ``exp``/``ln`` are bit-identical to Python's
+    ``math`` (both libm — probed empirically), while numpy's SIMD
+    transcendentals differ by ulps — so THIS variant is what a SQL oracle
+    can replay exactly (contract.q_crf_loss_toy unrolls the identical
+    expression tree in DuckDB). Direct LSE is numerically safe only at
+    bounded magnitudes (potentials in [0, ~2), short sequences); the
+    production path stays :func:`crf_log_likelihood` (max-shifted,
+    vectorized, mask-aware), with the two pinned against each other in
+    tests/test_viterbi.py.
+
+    ``potentials``: n×k nested lists; ``tags``: gold indices; ``transitions``
+    /``start``: k×k and k nested lists of plain floats (no mask surface).
+    """
+    import math
+
+    n, k = len(potentials), len(potentials[0])
+    alpha = [start[j] + potentials[0][j] for j in range(k)]
+    for i in range(1, n):
+        new = []
+        for j in range(k):
+            acc = math.exp(alpha[0] + transitions[0][j])
+            for prev in range(1, k):
+                acc = acc + math.exp(alpha[prev] + transitions[prev][j])
+            new.append(math.log(acc) + potentials[i][j])
+        alpha = new
+    acc = math.exp(alpha[0])
+    for j in range(1, k):
+        acc = acc + math.exp(alpha[j])
+    denom = math.log(acc)
+    score = start[tags[0]] + potentials[0][tags[0]]
+    for i in range(1, n):
+        score = score + transitions[tags[i - 1]][tags[i]]
+        score = score + potentials[i][tags[i]]
+    return score - denom
+
+
 def crf_loss_table(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, log_likelihood) — per-document CRF training loss

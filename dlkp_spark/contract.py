@@ -324,6 +324,105 @@ def q_crf_loss(spark, sf_dir):
                  F.round(F.max("log_likelihood"), 6).alias("max_ll")))
 
 
+def q_crf_loss_toy(spark, sf_dir):
+    """Oracle-gated CRF log-likelihood twin at toy scale (round-5 #6 —
+    closes the last closeable ``no_oracle`` entry). Each doc's first 4
+    tokens get SQL-expressible emission potentials and gold tags (the
+    same ascii/length rule family as _tag_rules), and the engine computes
+    log P(gold | potentials) through crf_log_likelihood_direct — the SAME
+    forward recursion as the production kernel but with direct
+    ``log(exp+exp+exp)`` per step in scalar libm ops, which DuckDB's
+    ``ln``/``exp`` reproduce bit-for-bit (probed: 0 mismatches over 4k
+    values; numpy's SIMD transcendentals differ, hence the twin). The
+    SQL unrolls the identical expression tree: 4 forward steps × 3 tags
+    with the O→I transition and I-start banned at -10000. The
+    production-scale variant (``crf_loss``) stays brute-force-pinned."""
+    from dlkp_spark.analysis.keyphrase import _crf_params, crf_log_likelihood_direct
+
+    ensure_shipped(spark)
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", _toks().alias("toks"))
+         .filter(F.size("toks") >= 4))
+
+    def run(batches):
+        import pandas as pd
+
+        trans_np, start_np = _crf_params()
+        T = [[float(x) for x in row] for row in trans_np]
+        S = [float(x) for x in start_np]
+        for pdf in batches:
+            ids, lls = [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                pots, gold = [], []
+                for t in list(toks)[:4]:
+                    h = (ord(t[-1]) if t else 0) + len(t)
+                    pots.append([((h * 2 + 1) % 13) / 7.0,
+                                 ((h * 5 + 2) % 13) / 7.0,
+                                 ((h * 11 + 3) % 13) / 7.0])
+                    m = h % 5
+                    gold.append(1 if m == 0 else (2 if m == 1 else 0))
+                ids.append(doc_id)
+                lls.append(crf_log_likelihood_direct(pots, gold, T, S))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "ll": pd.Series(lls, dtype="float64")})
+
+    return d.mapInPandas(run, "doc_id long, ll double")
+
+
+def _crf_toy_sql() -> str:
+    """DuckDB replay of q_crf_loss_toy: the forward recursion unrolled to
+    the identical float expression tree (same add order, same libm)."""
+    pot = []
+    for i in (1, 2, 3, 4):
+        pot.append(
+            f"((h{i}*2+1)%13)/7.0 AS p{i}o, ((h{i}*5+2)%13)/7.0 AS p{i}b, "
+            f"((h{i}*11+3)%13)/7.0 AS p{i}i,\n"
+            f"    CASE WHEN h{i}%5 = 0 THEN 1 WHEN h{i}%5 = 1 THEN 2 ELSE 0 END AS g{i}")
+    steps = []
+    for i in (2, 3, 4):
+        a = i - 1
+        steps.append(
+            f"a{i} AS (SELECT *,\n"
+            f"  ln(exp(a{a}o) + exp(a{a}b) + exp(a{a}i)) + p{i}o AS a{i}o,\n"
+            f"  ln(exp(a{a}o) + exp(a{a}b) + exp(a{a}i)) + p{i}b AS a{i}b,\n"
+            f"  ln(exp(a{a}o - 10000.0) + exp(a{a}b) + exp(a{a}i)) + p{i}i AS a{i}i\n"
+            f" FROM a{a})")
+    numer = ["CASE WHEN g1 = 2 THEN -10000.0 ELSE 0.0 END",
+             "CASE g1 WHEN 0 THEN p1o WHEN 1 THEN p1b ELSE p1i END"]
+    for i in (2, 3, 4):
+        a = i - 1
+        numer.append(f"CASE WHEN g{a} = 0 AND g{i} = 2 THEN -10000.0 ELSE 0.0 END")
+        numer.append(f"CASE g{i} WHEN 0 THEN p{i}o WHEN 1 THEN p{i}b ELSE p{i}i END")
+    hs = ",\n         ".join(
+        f"ascii(substr(toks[{i}], -1, 1)) + length(toks[{i}]) AS h{i}"
+        for i in (1, 2, 3, 4))
+    pot_sql = ",\n    ".join(pot)
+    steps_sql = ",\n".join(steps)
+    numer_sql = " + ".join(numer)
+    return f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+hs AS (
+  SELECT doc_id,
+         {hs}
+  FROM l WHERE len(toks) >= 4
+),
+p AS (
+  SELECT doc_id,
+    {pot_sql}
+  FROM hs
+),
+a1 AS (SELECT *, p1o AS a1o, p1b AS a1b, -10000.0 + p1i AS a1i FROM p),
+{steps_sql}
+SELECT doc_id,
+       ({numer_sql})
+       - ln(exp(a4o) + exp(a4b) + exp(a4i)) AS ll
+FROM a4
+"""
+
+
+SQL_CRF_LOSS_TOY = _crf_toy_sql()
+
+
 def _tag_rules():
     """Deterministic per-token BIO tag rules (pred vs gold differ so spans
     overlap partially) — expressible identically in Spark and ANSI SQL."""
@@ -1416,6 +1515,7 @@ QUERIES = {
     "one2many_targets": (q_one2many_targets, SQL_ONE2MANY_TARGETS),
     "keyphrase_extract": (q_keyphrase_extract, None),
     "crf_loss": (q_crf_loss, None),
+    "crf_loss_toy": (q_crf_loss_toy, SQL_CRF_LOSS_TOY),
     "keyphrase_extract_ruled": (q_keyphrase_extract_ruled, SQL_BIO_EXTRACT),
     "bio_extract": (q_bio_extract, SQL_BIO_EXTRACT),
     "tag_metrics": (q_tag_metrics, SQL_TAG_METRICS),

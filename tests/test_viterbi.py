@@ -170,6 +170,28 @@ def test_crf_log_likelihood_matches_brute_force(seed):
     assert got <= 1e-12
 
 
+@pytest.mark.parametrize("seed", range(12))
+def test_crf_ll_direct_twin_matches_production(seed):
+    """crf_log_likelihood_direct (the scalar-libm oracle twin behind the
+    crf_loss_toy DuckDB gate) must agree with the production max-shifted
+    numpy kernel at toy magnitudes — including banned -10000 transitions
+    (the underflow the direct form relies on being harmless)."""
+    from dlkp_spark.analysis.keyphrase import _crf_params, crf_log_likelihood_direct
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 6))
+    k = 3
+    logits = rng.uniform(0.0, 2.0, size=(n, k))
+    trans_np, start_np = _crf_params()
+    gold = [int(x) for x in rng.integers(0, k, size=n)]
+    T = [[float(x) for x in row] for row in trans_np]
+    S = [float(x) for x in start_np]
+    got = crf_log_likelihood_direct(
+        [[float(x) for x in row] for row in logits], gold, T, S)
+    want = crf_log_likelihood(logits, gold, trans_np, start_np)
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_crf_ll_padding_mask_equals_truncation(seed):
     """Reference padding semantics (crf.py:102-110,171-175): trailing
