@@ -8,6 +8,14 @@ Measures the two north-star metrics plus headline contract queries:
     reference query set → queries/sec
   - headline driver-contract queries at $SPARK_GRAFT_SF_DIR
 
+Each SECTION runs in its own subprocess (fresh JVM + fresh Python
+workers), the same isolation discipline scripts/bench_scaling.py uses
+for its levels: a measured r5 regression showed ~500 accumulated stages
+of one long-lived local-mode JVM taxing every later query 3–5×
+(term_stats 4.2 s in-bench vs 1.2 s in a fresh JVM, same minute, same
+host) — residue a real cluster's per-job executor provisioning never
+sees. JVM startup/warmup is untimed either way.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_N_DOCS (default 20000) — generated corpus size for the build/query bench.
@@ -18,35 +26,53 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "20000"))
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_N_DOCS", "20000"))
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    from dlkp_spark import contract
+def _best_of(spark, fn, n=3):
+    # best-of-3 for the cheap query metrics (seconds each): a single
+    # host-steal spike contaminated BOTH runs of a best-of-2 in one
+    # recorded window (wand 24.9 s vs its 4–8 s isolation range).
+    # Repeats are NOT cache hits: the catalog cache is cleared between.
+    b = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        b = dt if b is None else min(b, dt)
+        spark.catalog.clearCache()
+    return b
+
+
+def section_core() -> tuple[dict, dict]:
+    """Index build + batch/WAND queries + LSM compaction cycle."""
+    from dlkp_spark.cache import release_cached
     from dlkp_spark.config import BM25Params, IndexConfig
     from dlkp_spark.corpus import generate_web_pages
     from dlkp_spark.index.build import build_index, prepare_docs
+    from dlkp_spark.index.merge import merge_segments
     from dlkp_spark.oracle import reference_query_set
     from dlkp_spark.query.wand import batch_topk, wand_topk
     from dlkp_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark = get_spark("bench_core", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
     # corpus parquet is the engine INPUT (stand-in for the Iceberg table) —
     # generating it is not part of the measured build
     src_dir = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
-    generate_web_pages(spark, n_docs, seed=42).write.parquet(src_dir)
+    generate_web_pages(spark, N_DOCS, seed=42).write.parquet(src_dir)
     pages = spark.read.parquet(src_dir)
 
     # -- index build (analyze → tag → ids → encode → commit) ----------------
@@ -56,16 +82,15 @@ def main() -> None:
     # n_shards=2 matches the contract's WAND query layout; since round 3
     # all shards encode in ONE job, so shard count no longer multiplies
     # job barriers.
-    cfg = IndexConfig(segment_docs=2048, block_size=64, n_term_partitions=cpus)
+    cfg = IndexConfig(segment_docs=2048, block_size=64, n_term_partitions=CPUS)
     idx_dir = None
     best = None
     for _ in range(2):
-        from dlkp_spark.cache import release_cached
         d = tempfile.mkdtemp(prefix="bench_idx_")
         t0 = time.perf_counter()
-        docs = prepare_docs(pages, validate=True, n_docs=n_docs)
+        docs = prepare_docs(pages, validate=True, n_docs=N_DOCS)
         build_index(spark, docs, d, cfg=cfg, n_shards=2, resume=False,
-                    n_docs=n_docs)
+                    n_docs=N_DOCS)
         dt = time.perf_counter() - t0
         release_cached()
         spark.catalog.clearCache()
@@ -77,96 +102,117 @@ def main() -> None:
         else:
             shutil.rmtree(d, ignore_errors=True)
     timings["index_build"] = best
-    extra["index_build_docs_per_sec"] = n_docs / best
+    extra["index_build_docs_per_sec"] = round(N_DOCS / best, 1)
 
-    # -- top-10 BM25 over the compressed index (best-of-2 each) -------------
+    # -- top-10 BM25 over the compressed index (best-of each) ---------------
     queries = reference_query_set(n_queries=200)
     big_queries = reference_query_set(n_queries=2000)
-
-    def best_of(fn, n=3):
-        # best-of-3 for the cheap query metrics (seconds each): a single
-        # host-steal spike contaminated BOTH runs of a best-of-2 in one
-        # recorded window (wand 24.9 s vs its 4–8 s isolation range)
-        b = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            b = dt if b is None else min(b, dt)
-            spark.catalog.clearCache()
-        return b
-
-    timings["bm25_batch_200q"] = best_of(
+    timings["bm25_batch_200q"] = _best_of(spark,
         lambda: batch_topk(spark, idx_dir, queries, BM25Params(), k=10).count())
-    extra["bm25_queries_per_sec"] = len(queries) / timings["bm25_batch_200q"]
-    timings["bm25_batch_2000q"] = best_of(
+    extra["bm25_queries_per_sec"] = round(
+        len(queries) / timings["bm25_batch_200q"], 1)
+    timings["bm25_batch_2000q"] = _best_of(spark,
         lambda: batch_topk(spark, idx_dir, big_queries, BM25Params(), k=10).count())
-    extra["bm25_batch_queries_per_sec"] = (
-        len(big_queries) / timings["bm25_batch_2000q"])
-    timings["wand_20q"] = best_of(
+    extra["bm25_batch_queries_per_sec"] = round(
+        len(big_queries) / timings["bm25_batch_2000q"], 1)
+    timings["wand_20q"] = _best_of(spark,
         lambda: wand_topk(spark, idx_dir, queries[:20], BM25Params(), k=10).count())
-    extra["wand_queries_per_sec"] = 20 / timings["wand_20q"]
+    extra["wand_queries_per_sec"] = round(20 / timings["wand_20q"], 1)
 
     # -- LSM compaction cycle: many small streamed segments → merge ---------
     # measures that compaction (a) runs at bench scale and (b) actually
     # buys query latency back on a fragmented index
-    from dlkp_spark.index.merge import merge_segments
-
-    frag_cfg = IndexConfig(segment_docs=256, block_size=64, n_term_partitions=cpus)
+    frag_cfg = IndexConfig(segment_docs=256, block_size=64,
+                           n_term_partitions=CPUS)
     frag_dir = tempfile.mkdtemp(prefix="bench_frag_")
-    build_index(spark, prepare_docs(pages, validate=False, n_docs=n_docs),
-                frag_dir, cfg=frag_cfg, n_shards=1, resume=False, n_docs=n_docs)
+    build_index(spark, prepare_docs(pages, validate=False, n_docs=N_DOCS),
+                frag_dir, cfg=frag_cfg, n_shards=1, resume=False, n_docs=N_DOCS)
+    release_cached()
     spark.catalog.clearCache()
-    pre = best_of(
+    pre = _best_of(spark,
         lambda: batch_topk(spark, frag_dir, queries, BM25Params(), k=10).count())
     # factor=2 (79 → 40 segments), NOT a deeper merge: batch_topk
     # parallelizes by segment, so compacting below ~#cores groups trades
     # decode overhead for lost parallelism (measured: 79→10 segments on
     # 32 cores made the after-query SLOWER in some windows). The scale
     # rule: compaction must keep #segments >> cluster parallelism.
-    merged_dir = tempfile.mkdtemp(prefix="bench_merged_") + "/idx"
-    t0 = time.perf_counter()
-    merge_segments(spark, frag_dir, merged_dir, factor=2, cfg=frag_cfg)
-    timings["compact_merge"] = time.perf_counter() - t0
-    post = best_of(
+    # best-of-2 like every other number: a single-shot merge measurement
+    # caught a 5x host-steal spike in one recorded window (r5)
+    merged_dir = None
+    best = None
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="bench_merged_") + "/idx"
+        t0 = time.perf_counter()
+        merge_segments(spark, frag_dir, d, factor=2, cfg=frag_cfg)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best = dt
+            if merged_dir:
+                shutil.rmtree(os.path.dirname(merged_dir), ignore_errors=True)
+            merged_dir = d
+        else:
+            shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    timings["compact_merge"] = best
+    post = _best_of(spark,
         lambda: batch_topk(spark, merged_dir, queries, BM25Params(), k=10).count())
     extra["compact_query_sec_before"] = round(pre, 3)
     extra["compact_query_sec_after"] = round(post, 3)
     shutil.rmtree(frag_dir, ignore_errors=True)
     shutil.rmtree(os.path.dirname(merged_dir), ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
+    spark.stop()
+    return timings, extra
 
-    # -- two-wave segment pruning on a SELECTIVE query set ------------------
-    # the 100×-scale path (round-5 item #1): a skewed corpus where each
-    # query's top-k is decided inside one doc-range segment while the term
-    # still appears (tf=1 noise) in EVERY segment — so the term-match join
-    # prunes nothing and only the metadata upper-bound gate can skip work.
+
+def section_selective() -> tuple[dict, dict]:
+    """Two-wave segment pruning on a SELECTIVE query set — the 100×-scale
+    path (round-5 item #1): a skewed corpus where each query's top-k is
+    decided inside one doc-range segment while the term still appears
+    (tf 1–3 noise) in EVERY segment — so the term-match join prunes
+    nothing and only the metadata upper-bound gate can skip work."""
     from pyspark.sql import functions as F
 
-    from dlkp_spark.query.wand import two_wave_pair_counts
+    from dlkp_spark.config import BM25Params, IndexConfig
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk, two_wave_pair_counts
+    from dlkp_spark.session import get_spark
+
+    spark = get_spark("bench_sel", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
 
     seg_docs = 256
-    n_hot = min(50, n_docs // seg_docs)
-    skew_rows = []
-    for i in range(n_docs):
-        seg = i // seg_docs
-        toks = ["the"] * 6 + ["data", "query", "filler"]
-        if seg < n_hot:
-            toks += [f"hot{seg}"] * 8
-        # tf 1-3 noise for EVERY hot term in EVERY doc: the term-match join
-        # prunes nothing, only the metadata upper-bound gate can skip work
-        for j in range(n_hot):
-            toks += [f"hot{j}"] * (1 + (i * 7 + j) % 3)
-        skew_rows.append((i, toks))
-    skew_docs = (spark.createDataFrame(skew_rows, "doc_id long, tokens array<string>")
+    n_hot = min(50, N_DOCS // seg_docs)
+    # corpus generated FULLY Spark-side (a driver-side 20k × ~120-token
+    # python list held the rest of the bench hostage to GC pressure):
+    # docs in segment s < n_hot carry "hot{s}" at tf 8; EVERY doc carries
+    # every hot term at tf 1-3 noise
+    seg = (F.col("doc_id") / F.lit(seg_docs)).cast("long")
+    base = F.array(*([F.lit("the")] * 6
+                     + [F.lit("data"), F.lit("query"), F.lit("filler")]))
+    own = F.when(seg < n_hot,
+                 F.array_repeat(F.concat(F.lit("hot"), seg.cast("string")), 8)
+                 ).otherwise(F.array().cast("array<string>"))
+    noise = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(n_hot - 1)),
+        lambda j: F.array_repeat(
+            F.concat(F.lit("hot"), j.cast("string")),
+            (F.lit(1) + F.pmod(F.col("doc_id") * 7 + j, F.lit(3))).cast("int"))))
+    skew_docs = (spark.range(N_DOCS).withColumnRenamed("id", "doc_id")
+                 .repartition(CPUS, "doc_id")
+                 .withColumn("tokens", F.concat(base, own, noise))
                  .withColumn("keyphrases", F.array().cast("array<string>")))
+    cfg = IndexConfig(segment_docs=seg_docs, block_size=64,
+                      n_term_partitions=CPUS)
     skew_dir = tempfile.mkdtemp(prefix="bench_skew_") + "/idx"
-    build_index(spark, skew_docs, skew_dir, cfg=frag_cfg, n_shards=1,
-                resume=False, n_docs=n_docs)
+    build_index(spark, skew_docs, skew_dir, cfg=cfg, n_shards=1,
+                resume=False, n_docs=N_DOCS)
     sel_queries = [(j, [f"hot{j}"]) for j in range(n_hot)]
-    timings["bm25_selective_1wave"] = best_of(
+    timings["bm25_selective_1wave"] = _best_of(spark,
         lambda: batch_topk(spark, skew_dir, sel_queries, BM25Params(), k=10).count())
-    timings["bm25_selective_2wave"] = best_of(
+    timings["bm25_selective_2wave"] = _best_of(spark,
         lambda: batch_topk(spark, skew_dir, sel_queries, BM25Params(), k=10,
                            two_wave=True).count())
     pc = two_wave_pair_counts(spark, skew_dir, sel_queries, BM25Params(), k=10)
@@ -178,52 +224,66 @@ def main() -> None:
     extra["two_wave_postings_frac"] = round(
         pc["postings_scored"] / max(pc["postings_total"], 1), 4)
     shutil.rmtree(os.path.dirname(skew_dir), ignore_errors=True)
+    spark.stop()
+    return timings, extra
 
-    # -- headline contract queries at the sf dir ----------------------------
-    # (exact ngram_jaccard is the sf0.01 oracle variant — quadratic by
-    # design; the scale-path dedup ops benched here are minhash + simhash)
-    headline = ["bm25_topk", "term_stats", "knn_cosine",
-                "events_hourly", "fingerprint", "minhash_lsh_pairs",
-                "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
-                "tag_metrics", "generation_topk"]
-    for name in headline:
+
+def section_headline() -> tuple[dict, dict]:
+    """Headline contract queries at the sf dir. (Exact ngram_jaccard is
+    the sf0.01 oracle variant — quadratic by design; the scale-path dedup
+    ops benched here are minhash + simhash.)"""
+    from dlkp_spark import contract
+    from dlkp_spark.session import get_spark
+
+    spark = get_spark("bench_hl", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    for name in ["bm25_topk", "term_stats", "knn_cosine",
+                 "events_hourly", "fingerprint", "minhash_lsh_pairs",
+                 "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
+                 "tag_metrics", "generation_topk"]:
         fn, _sql = contract.QUERIES[name]
-        # best-of-3: the shared host shows CPU-steal spikes that can 3×
-        # a single measurement (documented in BASELINE.md); min time is
-        # the standard contention-robust estimator. Repeats are NOT
-        # cache hits: the catalog cache is cleared between runs.
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # drop leaked caches between queries so one query's working
-            # set doesn't tax the next
-            spark.catalog.clearCache()
-        timings[name] = best
+        timings[name] = _best_of(spark, lambda: fn(spark, SF_DIR).count())
+    spark.stop()
+    return timings, {}
 
-    total = sum(timings.values())
+
+SECTIONS = {"core": section_core, "selective": section_selective,
+            "headline": section_headline}
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        timings, extra = SECTIONS[sys.argv[2]]()
+        print("SECTION_RESULT " + json.dumps({"timings": timings, "extra": extra}))
+        return
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in ("core", "selective", "headline"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("SECTION_RESULT ")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"bench section {name} failed")
+        r = json.loads(lines[-1][len("SECTION_RESULT "):])
+        timings.update(r["timings"])
+        extra.update(r["extra"])
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "index-build docs/sec + top-10 BM25 q/s + headline query secs",
-        "value": round(total, 3),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
-        "cpus": cpus,
-        "bench_corpus_docs": n_docs,
-        "index_build_docs_per_sec": round(extra["index_build_docs_per_sec"], 1),
-        "bm25_queries_per_sec": round(extra["bm25_queries_per_sec"], 1),
-        "bm25_batch_queries_per_sec": round(extra["bm25_batch_queries_per_sec"], 1),
-        "wand_queries_per_sec": round(extra["wand_queries_per_sec"], 1),
-        "compact_query_sec_before": extra["compact_query_sec_before"],
-        "compact_query_sec_after": extra["compact_query_sec_after"],
-        "two_wave_pairs_total": extra["two_wave_pairs_total"],
-        "two_wave_pairs_skipped": extra["two_wave_pairs_skipped"],
-        "two_wave_postings_frac": extra["two_wave_postings_frac"],
+        "cpus": CPUS,
+        "bench_corpus_docs": N_DOCS,
+        **extra,
     }
-    shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
-    spark.stop()
     print(json.dumps(out))
 
 
