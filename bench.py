@@ -241,7 +241,8 @@ def section_headline() -> tuple[dict, dict]:
     for name in ["bm25_topk", "term_stats", "knn_cosine",
                  "events_hourly", "fingerprint", "minhash_lsh_pairs",
                  "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
-                 "tag_metrics", "generation_topk"]:
+                 "tag_metrics", "generation_topk", "ngram_contamination",
+                 "domain_mix_sample"]:
         fn, _sql = contract.QUERIES[name]
         timings[name] = _best_of(spark, lambda: fn(spark, SF_DIR).count())
     spark.stop()

@@ -1499,6 +1499,91 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+# production default is n=13 (the GPT-3 paper's decontamination filter);
+# 3 gives the synthetic small-vocabulary corpus a non-trivial
+# contaminated set to gate at every sf
+DECON_N = 3
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination flags: docs sharing ≥1 exact word
+    n-gram with the 'eval suite' (every 50th doc), with the count of
+    distinct shared n-grams as a severity signal. Eval grams broadcast;
+    the corpus side is one scan-local flatMap + partial-agg groupBy —
+    the corpus is never shuffled."""
+    from dlkp_spark.pipeline.decontam import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    rest = d.filter(F.col("doc_id") % 50 != 0)
+    return (ngram_contamination(rest, ev, n=DECON_N)
+            .orderBy("doc_id"))
+
+
+SQL_NGRAM_CONTAMINATION = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {DECON_N - 1} + 1),
+                i -> array_to_string(ts[i : i + {DECON_N - 1}], ' '))) AS gram
+  FROM toks
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM dg JOIN eg USING (gram)
+WHERE dg.doc_id % 50 <> 0
+GROUP BY dg.doc_id
+ORDER BY doc_id
+"""
+
+
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+MIX_TOTAL = 50.0
+
+
+def q_domain_mix_sample(spark, sf_dir):
+    """Target-proportion domain mixing: relative weights 4:2:1:1 over
+    four sources, target 50 rows. Per-source counts (an O(#sources)
+    collect) derive keep fractions; the sample itself is the scan-local
+    integer-hash filter shared with stratified_sample — the SQL oracle
+    recomputes the same float64 fraction expression in the same
+    operation order, so the kept row SET matches bit-for-bit."""
+    from dlkp_spark.pipeline.sampling import domain_mix_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return domain_mix_sample(d, MIX_WEIGHTS, MIX_TOTAL).orderBy("doc_id")
+
+
+def _sql_domain_mix_sample() -> str:
+    wsum = float(sum(MIX_WEIGHTS.values()))
+    vals = ", ".join(f"('{s}', {w!r})"
+                     for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source
+),
+th AS (
+  SELECT w.source,
+         CAST(FLOOR(LEAST(1.0, (w.w / {wsum!r}) * {MIX_TOTAL!r} / c)
+                    * 2147483647.0) AS BIGINT) AS t
+  FROM (VALUES {vals}) AS w(source, w) JOIN cnt USING (source)
+)
+SELECT d.doc_id, d.source FROM documents d JOIN th ON d.source = th.source
+WHERE ((((d.doc_id % 2147483647) * 1000003 + 12345) % 2147483647
+        * 131071 + 54321) % 2147483647
+       * 8191 + 2029) % 2147483647 < th.t
+ORDER BY d.doc_id
+"""
+
+
+SQL_DOMAIN_MIX_SAMPLE = _sql_domain_mix_sample()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1549,6 +1634,8 @@ QUERIES = {
     "semi_join_nations": (q_semi_join_nations, SQL_SEMI_JOIN_NATIONS),
     "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),
     "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),
     "limit_top_chars": (q_limit_top_chars, SQL_LIMIT_TOP_CHARS),

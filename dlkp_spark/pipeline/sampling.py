@@ -56,6 +56,49 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
     return docs.filter(_id_hash(id_col) < thresh)
 
 
+def mix_fractions(counts: dict[str, int], weights: dict[str, float],
+                  total: float) -> dict[str, float]:
+    """Per-source keep fractions realizing a target domain mix.
+
+    ``weights`` are RELATIVE mixing weights (the DoReMi/Pile-style domain
+    mix spec); ``total`` is the target corpus size in rows. Source ``s``
+    should contribute ``weights[s]/Σweights · total`` rows, so its keep
+    fraction is that target over its available count, capped at 1.0
+    (an under-represented source can't be upsampled by a filter — callers
+    that need oversampling repeat the source upstream). Expression order
+    ``(w / wsum) * total / count`` is part of the contract: the SQL
+    oracle replays the same float64 ops in the same order, making the
+    derived integer thresholds — and therefore the kept row SET —
+    bit-identical.
+    """
+    wsum = float(sum(weights.values()))
+    return {s: min(1.0, (weights[s] / wsum) * total / counts[s])
+            for s in sorted(weights) if s in counts and counts[s] > 0}
+
+
+def domain_mix_sample(docs: DataFrame, weights: dict[str, float],
+                      total: float, group_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic resampling of ``docs`` toward a target domain mix:
+    ``weights`` give relative source proportions, ``total`` the target
+    row count; rows of sources absent from ``weights`` are dropped.
+
+    Two passes: a per-source count aggregation (collect is O(#sources) —
+    bounded by the domain taxonomy, never by corpus size) derives keep
+    fractions via :func:`mix_fractions`, then :func:`stratified_sample`
+    applies them as one scan-local hash filter — no shuffle touches the
+    corpus, and the kept set is nested under any larger ``total`` (grow
+    the target, keep a superset — scaling-law-friendly).
+    """
+    scoped = docs.filter(F.col(group_col).isin(list(weights)))
+    counts = {r[group_col]: r["cnt"] for r in
+              scoped.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    fracs = mix_fractions(counts, weights, float(total))
+    return stratified_sample(scoped, fracs, group_col=group_col,
+                             id_col=id_col, default=0.0)
+
+
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    len_col: str = "n_tokens",
                    id_col: str = "doc_id",
