@@ -1542,6 +1542,60 @@ ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family within-doc repetition filter signals (duplicate-word
+    fraction, most-common-bigram fraction, duplicated-trigram fraction)
+    — ONE scan-local projection per doc, no explode/shuffle; the oracle
+    replays the frequencies by group-by instead."""
+    from dlkp_spark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+         greatest(len(ts) - 1, 0) AS n_bi, greatest(len(ts) - 2, 0) AS n_tri
+  FROM toks
+),
+bic AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                          i -> array_to_string(ts[i : i + 1], ' '))) AS g
+    FROM toks) GROUP BY doc_id, g
+),
+bia AS (SELECT doc_id, max(c) AS best FROM bic GROUP BY doc_id),
+tric AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                          i -> array_to_string(ts[i : i + 2], ' '))) AS g
+    FROM toks) GROUP BY doc_id, g
+),
+tria AS (SELECT doc_id, count(*) FILTER (WHERE c = 1) AS singles
+         FROM tric GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN ROUND(1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN b.n_bi > 0
+            THEN ROUND(bia.best / CAST(b.n_bi AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN b.n_tri > 0
+            THEN ROUND((b.n_tri - tria.singles) / CAST(b.n_tri AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM base b
+LEFT JOIN bia USING (doc_id)
+LEFT JOIN tria USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
 MIX_TOTAL = 50.0
 
@@ -1635,6 +1689,7 @@ QUERIES = {
     "present_absent_split": (q_present_absent_split, SQL_PRESENT_ABSENT_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),
     "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),

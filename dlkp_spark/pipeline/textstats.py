@@ -81,6 +81,88 @@ def token_counts_by(docs: DataFrame, group_col: str = "source",
                  F.sum(bpe).alias("bpe_tokens")))
 
 
+def _run_length_stats(arr):
+    """struct(best, singles) over an array: the highest multiplicity of
+    any element and the number of elements occurring exactly once —
+    computed as max/count of runs in the SORTED array, one
+    O(d log d + d) ``aggregate`` fold, entirely scan-local.
+
+    This is the 100-TB shape for per-document frequency stats: the naive
+    explode → groupBy(doc, gram) → count would shuffle the corpus's
+    whole gram stream to answer a question each row can answer about
+    itself. State: (prev element, current run length, best run, closed
+    singleton runs); the finish lambda closes the trailing run.
+    """
+    sorted_a = F.array_sort(arr)
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"),
+                    F.lit(0).alias("singles"))
+
+    def step(acc, x):
+        extend = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(extend, acc["run"] + 1).otherwise(F.lit(1))
+        singles = F.when(extend, acc["singles"]).otherwise(
+            acc["singles"] + F.when(acc["run"] == 1, 1).otherwise(0))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"),
+                        singles.alias("singles"))
+
+    def finish(acc):
+        return F.struct(
+            acc["best"].alias("best"),
+            (acc["singles"] + F.when(acc["run"] == 1, 1).otherwise(0))
+            .alias("singles"))
+
+    return F.aggregate(sorted_a, init, step, finish)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1, the public MassiveText filter family), word-token variant:
+
+    - ``dup_word_frac``: 1 − distinct words / total words
+    - ``top_bigram_frac``: occurrences of the most frequent 2-gram over
+      total 2-gram occurrences
+    - ``dup_trigram_frac``: fraction of 3-gram occurrences whose gram
+      appears more than once in the doc
+
+    Everything is ONE projection of pure built-ins (split, array_sort,
+    aggregate folds) — no explode, no shuffle, whole-stage codegen; at
+    100 TB this filter costs exactly one corpus scan, like the other
+    textstats. Each fraction is a single int/int division rounded to 6
+    (the same op in the SQL oracle → bit-stable gate).
+    """
+    from dlkp_spark.pipeline.decontam import word_ngrams
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    n_tok = F.size(toks)
+    bi = _run_length_stats(word_ngrams(F.lower(F.col(text_col)), 2))
+    tri = _run_length_stats(word_ngrams(F.lower(F.col(text_col)), 3))
+    n_bi = F.greatest(n_tok - 1, F.lit(0))
+    n_tri = F.greatest(n_tok - 2, F.lit(0))
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        bi.alias("bi"), tri.alias("tri"),
+        n_bi.alias("n_bi"), n_tri.alias("n_tri"))
+    zero = F.lit(0.0)
+    return stats.select(
+        "doc_id", stats["n_tokens"].cast("long").alias("n_tokens"),
+        F.when(stats["n_tokens"] > 0,
+               F.round(F.lit(1.0) - stats["n_distinct"]
+                       / stats["n_tokens"].cast("double"), 6))
+        .otherwise(zero).alias("dup_word_frac"),
+        F.when(stats["n_bi"] > 0,
+               F.round(stats["bi"]["best"] / stats["n_bi"].cast("double"), 6))
+        .otherwise(zero).alias("top_bigram_frac"),
+        F.when(stats["n_tri"] > 0,
+               F.round((stats["n_tri"] - stats["tri"]["singles"])
+                       / stats["n_tri"].cast("double"), 6))
+        .otherwise(zero).alias("dup_trigram_frac"))
+
+
 FP_MUL = 1000003
 FP_MOD = 2147483647
 

@@ -93,3 +93,52 @@ def test_multimodal_features_empty_text_matches_oracle(spark):
 def test_decode_stub_raises(spark, docs):
     with pytest.raises(NotImplementedError, match="stubbed"):
         decode_image(attach_fake_payload(docs))
+
+
+# -- Gopher-style repetition stats (round 5) --------------------------------
+
+def _py_rep(text: str):
+    toks = [t for t in text.lower().split() if t]
+    n = len(toks)
+    bis = [" ".join(toks[i:i + 2]) for i in range(n - 1)]
+    tris = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+    from collections import Counter
+    bc, tc = Counter(bis), Counter(tris)
+    dup_word = round(1.0 - len(set(toks)) / n, 6) if n else 0.0
+    top_bi = round(max(bc.values()) / len(bis), 6) if bis else 0.0
+    dup_tri = (round(sum(c for c in tc.values() if c > 1) / len(tris), 6)
+               if tris else 0.0)
+    return n, dup_word, top_bi, dup_tri
+
+
+REP_DOCS = [
+    (0, "spam spam spam spam spam spam"),              # maximal repetition
+    (1, "all words here are fully distinct tokens"),   # no repetition
+    (2, "a b a b a b a b c"),                          # periodic bigrams
+    (3, "x y z x y z q r s t u v"),                    # one duplicated trigram
+    (4, "one two"),                                    # too short for trigrams
+    (5, "solo"),                                       # too short for bigrams
+    (6, ""),                                           # empty
+]
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    from dlkp_spark.pipeline.textstats import repetition_stats
+
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_word_frac"],
+                         r["top_bigram_frac"], r["dup_trigram_frac"])
+           for r in repetition_stats(df).collect()}
+    for doc_id, text in REP_DOCS:
+        assert got[doc_id] == _py_rep(text), (doc_id, text)
+    # sanity on the extremes the filter exists to separate
+    assert got[0][1] > 0.8 and got[0][2] == 1.0
+    assert got[1][1] == 0.0 and got[1][3] == 0.0
+
+
+def test_repetition_stats_is_scan_local(spark):
+    from dlkp_spark.pipeline.textstats import repetition_stats
+
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "per-doc stats must not shuffle"
