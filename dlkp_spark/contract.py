@@ -1596,6 +1596,50 @@ ORDER BY doc_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring end-to-end: train an add-1 bigram
+    LM on the corpus (two vocab-bounded aggregations), broadcast it,
+    score every doc's nats-per-token in one scan-local Arrow pass with a
+    left-to-right scalar-libm fold — the order/libm contract the oracle
+    replays via list(logp ORDER BY i) + list_reduce and DuckDB ln."""
+    from dlkp_spark.pipeline.lm import collect_lm, lm_nats, train_bigram_lm
+
+    d = _docs(spark, sf_dir)
+    uni, bi, vocab = train_bigram_lm(d)
+    u, b = collect_lm(uni, bi)
+    return lm_nats(spark, d, u, b, vocab).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, i, ts[i] AS v, ts[i + 1] AS w
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)
+),
+uni AS (SELECT v, count(*) AS c FROM pairs GROUP BY v),
+bi AS (SELECT v, w, count(*) AS c FROM pairs GROUP BY v, w),
+vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vv
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+scored AS (
+  SELECT p.doc_id, p.i,
+         ln((COALESCE(b.c, 0) + 1.0) / (u.c + 1.0 * vocab.vv)) AS logp
+  FROM pairs p
+  JOIN uni u USING (v)
+  LEFT JOIN bi b ON p.v = b.v AND p.w = b.w
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
+             / count(*), 6) AS nats_per_token
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
 MIX_TOTAL = 50.0
 
@@ -1690,6 +1734,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),
     "split_percent": (q_split_percent, SQL_SPLIT_PERCENT),

@@ -1,0 +1,121 @@
+"""CCNet-style n-gram LM quality scoring: train a bigram LM on (a slice
+of) the corpus, broadcast it, score every document's per-token negative
+log-likelihood in nats. The perplexity bucket filter of Wenzek et al.
+2020 (CCNet) — documents whose LM score is far from the reference
+distribution are boilerplate or gibberish — expressed Spark-first:
+
+- **training** is two aggregations over the exploded bigram stream
+  (context counts + pair counts): a classic reduce whose OUTPUT is
+  vocabulary-sized, not corpus-sized, so the shuffle is bounded by the
+  (pruned) vocab no matter how big the corpus is;
+- **the model** ships via ``SparkContext.broadcast`` (one torrent copy
+  per executor, same pattern as analysis/tensor_model.py), after a
+  BOUNDED driver collect guarded by ``max_entries`` — prune with
+  ``min_count`` to stay within it, exactly how production n-gram LMs
+  (KenLM-style) are thresholded;
+- **scoring** is one scan-local Arrow pass: per document a pure-Python
+  left-to-right fold of ``math.log((c(v,w)+α) / (c(v)+α·V))`` — scalar
+  libm ops in document order, which the DuckDB oracle replays exactly
+  (``list_reduce`` over ``list(logp ORDER BY position)``; DuckDB's
+  ``ln`` is the same libm as Python's ``math.log``). No shuffle touches
+  the corpus at scoring time.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SPLIT = r"\s+"
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), _SPLIT),
+                    lambda x: x != F.lit(""))
+
+
+def bigram_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(v, w) adjacent-token pairs, one row per occurrence — the training
+    stream. ``arrays_zip`` of the two shifted slices keeps the pairing
+    scan-local; only the groupBy that counts them shuffles, and that
+    shuffle's output is vocabulary-sized."""
+    toks = _tokens(text_col)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("v"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w"))
+    return (docs.select(F.explode(zipped).alias("p"))
+            .select(F.col("p.v").alias("v"), F.col("p.w").alias("w")))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    min_count: int = 1) -> tuple[DataFrame, DataFrame, int]:
+    """(uni_df, bi_df, vocab_size): context counts c(v) over the pair
+    stream, pair counts c(v, w) with ``c >= min_count``, and the corpus
+    vocabulary size V (distinct tokens, all positions). c(v) is counted
+    BEFORE pruning so probabilities still sum to ≤1 per context."""
+    pairs = bigram_pairs(docs, text_col)
+    uni = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    bi = (pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") >= min_count))
+    vocab = (docs.select(F.explode(_tokens(text_col)).alias("t"))
+             .agg(F.count_distinct("t").alias("v")).collect()[0]["v"])
+    return uni, bi, int(vocab)
+
+
+def collect_lm(uni: DataFrame, bi: DataFrame,
+               max_entries: int = 5_000_000) -> tuple[dict, dict]:
+    """Driver-side model tables for broadcast. BOUNDED by contract:
+    raises if the (pruned) model exceeds ``max_entries`` rows — at that
+    point raise ``min_count``, not this limit (same bounded-collect
+    discipline as the IVF centroid sample)."""
+    n = bi.count() + uni.count()
+    if n > max_entries:
+        raise ValueError(
+            f"LM has {n} rows > max_entries={max_entries}; "
+            f"raise min_count to prune before collecting")
+    u = {r["v"]: r["c"] for r in uni.collect()}
+    b = {(r["v"], r["w"]): r["c"] for r in bi.collect()}
+    return u, b
+
+
+def lm_nats(spark: SparkSession, docs: DataFrame, uni: dict, bi: dict,
+            vocab_size: int, alpha: float = 1.0, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bigrams, nats_per_token) for docs with ≥1 bigram.
+
+    nats_per_token = −(Σ_i log p(w_i | w_{i−1})) / n_bigrams with
+    add-α smoothing p(w|v) = (c(v,w)+α) / (c(v)+α·V); the sum is a
+    LEFT-TO-RIGHT scalar fold in document order (the oracle contract —
+    see module docstring), rounded to 6. Higher = more surprising text;
+    the CCNet filter buckets on this column.
+    """
+    bc = spark.sparkContext.broadcast((uni, bi))
+    av = float(alpha) * float(vocab_size)
+    alpha = float(alpha)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        u, b = bc.value
+        for pdf in batches:
+            ids, nb, nats = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in str(text).lower().split() if t]
+                if len(toks) < 2:
+                    continue
+                acc = 0.0
+                for v, w in zip(toks, toks[1:]):
+                    acc = acc + math.log(
+                        (b.get((v, w), 0) + alpha) / (u.get(v, 0) + av))
+                n = len(toks) - 1
+                ids.append(doc_id)
+                nb.append(n)
+                nats.append(round(-acc / n, 6))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "n_bigrams": pd.Series(nb, dtype="int64"),
+                                "nats_per_token": pd.Series(nats, dtype="float64")})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        score, "doc_id long, n_bigrams long, nats_per_token double")
