@@ -1596,6 +1596,60 @@ ORDER BY doc_id
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Lee-et-al-2021 cross-document duplicate 5-gram span removal with
+    keep-first semantics and text reconstruction; the oracle replays the
+    keeper rule via a row_number window and rebuilds with ordered
+    string_agg (the Spark side groups on md5(gram) purely to shrink the
+    shuffle payload — the hash never reaches the output, so grouping on
+    the raw gram in SQL is equivalent)."""
+    from dlkp_spark.pipeline.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), k=5).orderBy("doc_id")
+
+
+SQL_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos, array_to_string(ts[i + 1 : i + 5], ' ') AS g
+  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 4)) AS i
+        FROM toks WHERE len(ts) >= 5)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM occ
+),
+covered AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        FROM ranked WHERE cnt >= 2 AND rn > 1)
+),
+tokpos AS (
+  SELECT doc_id, p, ts[p + 1] AS tok
+  FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS p FROM toks)
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+)
+SELECT d.doc_id,
+       CAST(len(d.ts) AS BIGINT) AS n_tokens,
+       CAST(len(d.ts) - count(k.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS dedup_text
+FROM toks d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, len(d.ts)
+ORDER BY doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring end-to-end: train an add-1 bigram
     LM on the corpus (two vocab-bounded aggregations), broadcast it,
@@ -1734,6 +1788,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),

@@ -246,3 +246,66 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     return (cands.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def span_dedup(docs: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate k-gram span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token span that occurs more than once in the corpus keeps exactly
+    its FIRST occurrence (min (doc_id, pos)); all other occurrences'
+    token ranges are deleted and the cleaned text is rebuilt. The paper
+    does this with a suffix array on one machine; here the same keep-one
+    semantics is four bounded shuffles, none of which buffers a skewed
+    key in memory:
+
+    1. gram stream ``(md5(k-gram), doc_id, pos)`` — scan-local projection
+       (``transform`` over a position ``sequence`` + ``posexplode``);
+       md5 shrinks the shuffle payload to 32 bytes however long the span;
+    2. ``groupBy(g)`` → (count, min-struct keeper) with map-side partial
+       aggregation — output is gram-vocabulary-sized;
+    3. shuffle join of the stream against the ``count >= 2`` grams (AQE
+       handles a mega-duplicated gram via skew-join split; no window, no
+       per-key buffering) → covered ``[pos, pos+k)`` ranges per doc;
+    4. ``groupBy(doc_id)`` range collection (bounded by the doc's own
+       token count) + join back to the corpus; kept positions via a
+       JVM-side ``filter``/``exists`` over the ranges (O(n·R) per doc —
+       docs are bounded; a sorted-range merge would be O(n+R)).
+
+    Tokenisation is whitespace-split, so the rebuilt ``dedup_text`` is
+    whitespace-normalised but otherwise byte-faithful (case preserved).
+    Docs shorter than k tokens pass through untouched. Returns
+    ``(doc_id, n_tokens, n_removed, dedup_text)``.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    n = F.size("_ts")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.md5(F.array_join(
+            F.slice(F.col("_ts"), i + F.lit(1), F.lit(k)), " ").cast("binary")))
+    occ = (base.filter(n >= k)
+           .select("doc_id", F.posexplode(grams).alias("pos", "g")))
+    dup = (occ.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_cnt"),
+                F.min(F.struct("doc_id", "pos")).alias("_keep"))
+           .filter(F.col("_cnt") >= 2))
+    covered = (occ.join(dup, "g")
+               .filter(~((F.col("doc_id") == F.col("_keep.doc_id"))
+                         & (F.col("pos") == F.col("_keep.pos"))))
+               .select("doc_id", F.col("pos").alias("s"),
+                       (F.col("pos") + F.lit(k - 1)).alias("e")))
+    cov = covered.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("_cov"))
+    pos_seq = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+    kept = F.when(F.col("_cov").isNull(), pos_seq).otherwise(
+        F.filter(pos_seq, lambda p: ~F.exists(
+            "_cov", lambda r: (p >= r["s"]) & (p <= r["e"]))))
+    return (base.join(cov, "doc_id", "left")
+            .select("doc_id",
+                    n.cast("long").alias("n_tokens"),
+                    (n - F.size(kept)).cast("long").alias("n_removed"),
+                    F.array_join(
+                        F.transform(kept, lambda p: F.get(F.col("_ts"), p)),
+                        " ").alias("dedup_text")))
