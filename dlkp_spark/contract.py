@@ -1650,6 +1650,76 @@ ORDER BY doc_id
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """RefinedWeb/Dolma-style PII scrub. The corpus has no PII, so both
+    sides first append the SAME deterministic doc_id-derived email / IPv4
+    / phone snippets (every 3rd/5th/7th doc), then redact; counts and the
+    scrubbed text are compared. Order-dependence (emails counted before
+    their digits could look phone-like) is part of the contract."""
+    from dlkp_spark.pipeline.pii import redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact u"), did.cast("string"),
+                        F.lit("@ex.org"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" call 555-12"), (did % 10).cast("string"),
+                        F.lit("-4567"))).otherwise(F.lit("")),
+    )
+    return (redact_pii(d.select("doc_id", aug.alias("text")))
+            .orderBy("doc_id"))
+
+
+SQL_REDACT_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || doc_id || '@ex.org' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-12' || (doc_id % 10) || '-4567' ELSE '' END
+         AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+         regexp_replace(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+                        '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       t AS clean_text
+FROM s3 ORDER BY doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring end-to-end: train an add-1 bigram
     LM on the corpus (two vocab-bounded aggregations), broadcast it,
@@ -1789,6 +1859,7 @@ QUERIES = {
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),
