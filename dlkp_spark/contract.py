@@ -1650,6 +1650,43 @@ ORDER BY doc_id
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc; ranked on the raw float64 score
+    (libm ln bit-identical across engines), term-asc tiebreak, rounded
+    only on output."""
+    from dlkp_spark.pipeline.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+ranked AS (
+  SELECT doc_id, term,
+         tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+                                     DESC, term) AS rank
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       ROUND(score, 6) AS score
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
 def q_redact_pii(spark, sf_dir):
     """RefinedWeb/Dolma-style PII scrub. The corpus has no PII, so both
     sides first append the SAME deterministic doc_id-derived email / IPv4
@@ -1860,6 +1897,7 @@ QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),

@@ -181,3 +181,44 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     fp = F.aggregate(tok_vals, F.lit(0).cast("long"),
                      lambda acc, v: (acc * FP_MUL + v) % FP_MOD)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF keywords per document → (doc_id, rank, term, score).
+
+    The unsupervised cousin of the keyphrase tagger: label every document
+    with its k most distinctive terms. idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style), score = tf·idf, ties broken by term.
+
+    Scale shape: explode → ONE map-combined groupBy for per-doc tf
+    (shuffle keyed (doc_id, term) — uniform); df is a vocabulary-sized
+    second aggregation OF THE TF TABLE (never re-shuffles the corpus);
+    the scalar N joins in via a broadcast 1-row frame; the per-doc top-k
+    window buffers only one document's vocabulary per key. Ranking
+    happens on the raw float64 (libm ln — bit-identical in the DuckDB
+    oracle); only the emitted score is rounded.
+    """
+    from pyspark.sql import Window
+
+    from dlkp_spark.cache import persist as _persist
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    # persisted: df and the join both read tf — without it Catalyst
+    # re-scans and re-explodes the corpus for the df branch
+    tf = _persist(
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n))
+              .withColumn("score", F.col("tf") * (F.log(
+                  (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                  + F.lit(1.0))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term",
+                    F.round("score", 6).alias("score")))
