@@ -243,7 +243,8 @@ def section_headline() -> tuple[dict, dict]:
                  "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
                  "tag_metrics", "generation_topk", "ngram_contamination",
                  "domain_mix_sample", "repetition_stats", "lm_perplexity",
-                 "span_dedup", "redact_pii", "tfidf_keywords"]:
+                 "span_dedup", "redact_pii", "tfidf_keywords",
+                 "chunk_documents"]:
         fn, _sql = contract.QUERIES[name]
         timings[name] = _best_of(spark, lambda: fn(spark, SF_DIR).count())
     spark.stop()

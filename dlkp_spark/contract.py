@@ -1650,6 +1650,33 @@ ORDER BY doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window 32-token chunks with 8-token overlap — scan-local
+    sequence/transform/posexplode; the oracle replays starts via
+    range(0, greatest(n-8,1), 24) and 1-based inclusive list slices."""
+    from dlkp_spark.pipeline.sampling import chunk_documents
+
+    return (chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+            .orderBy("doc_id", "chunk_id"))
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(ts) - s) AS BIGINT) AS n_tokens,
+       array_to_string(ts[s + 1 : s + 32], ' ') AS chunk_text
+FROM (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 8, 1), 24)) AS s
+      FROM toks WHERE len(ts) >= 1)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per doc; ranked on the raw float64 score
     (libm ln bit-identical across engines), term-asc tiebreak, rounded
@@ -1898,6 +1925,7 @@ QUERIES = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),

@@ -164,3 +164,42 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
 
     return slim.mapInPandas(
         kernel, "bin_id long, doc_id long, n_tokens long, bin_fill long")
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking for LLM context preparation:
+    split each doc into ``chunk_tokens``-token windows with ``overlap``
+    tokens of context carried between consecutive chunks (the standard
+    long-document preprocessing step upstream of ``pack_sequences``).
+
+    Chunk i starts at ``i·(chunk_tokens − overlap)``; starts range over
+    ``[0, max(n − overlap, 1))`` so a doc never emits a trailing chunk
+    that lies entirely inside the previous chunk's overlap tail, docs
+    with ``n ≤ overlap`` emit exactly one chunk, and empty docs emit
+    none. The final chunk keeps the remainder (may be shorter).
+
+    Scale shape: ONE scan-local projection — ``sequence`` of starts →
+    ``transform`` slices → ``posexplode``; no shuffle at any corpus
+    size (output ordering is whatever downstream asks for). Returns
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+    """
+    assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    n = F.size("_ts")
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
+                        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+            F.array_join(F.slice(F.col("_ts"), s + F.lit(1),
+                                 F.lit(chunk_tokens)), " ").alias("chunk_text")))
+    return (base.filter(n >= 1)
+            .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+            .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    F.col("c.n_tokens").cast("long").alias("n_tokens"),
+                    F.col("c.chunk_text").alias("chunk_text")))
