@@ -1677,6 +1677,97 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_curate_webtext(spark, sf_dir):
+    """RefinedWeb/Dolma-shaped composed chain, end-to-end: langid →
+    Gopher dup-word gate → PII scrub → exact dedup keeper on the
+    scrubbed text → bigram-LM perplexity gate (LM trained on the
+    survivors) → 32/8 sliding-window chunks. The oracle replays all six
+    stages in one CTE chain, so a stage-order bug (scrub after dedup,
+    LM trained pre-gate, ...) fails the hash, not just a unit test."""
+    from dlkp_spark.pipeline.curate import curate_webtext
+
+    return (curate_webtext(_docs(spark, sf_dir))
+            .orderBy("doc_id", "chunk_id"))
+
+
+def _sql_curate_webtext() -> str:
+    en = _sql_marker_count(["the", "and", "of", "data", "query"])
+    de = _sql_marker_count(["der", "und", "nicht"])
+    fr = _sql_marker_count(["le", "les", "est"])
+    return rf"""
+WITH lts AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text FROM lts
+  WHERE {en} >= {de} AND {en} >= {fr}
+    AND (len(ts) = 0 OR
+         1.0 - len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) <= 0.6)
+),
+scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+           '\b\d{{3}}[- ]\d{{3}}[- ]\d{{4}}\b', '<PHONE>', 'g') AS text
+  FROM gated
+),
+keeper AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM scrub) WHERE rn = 1
+),
+ktoks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM keeper
+),
+pairs AS (
+  SELECT doc_id, i, ts[i] AS v, ts[i + 1] AS w
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM ktoks)
+),
+uni AS (SELECT v, count(*) AS c FROM pairs GROUP BY v),
+bi AS (SELECT v, w, count(*) AS c FROM pairs GROUP BY v, w),
+vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vv
+          FROM (SELECT unnest(ts) AS t FROM ktoks)),
+scored AS (
+  SELECT p.doc_id, p.i,
+         ln((COALESCE(b.c, 0) + 1.0) / (u.c + 1.0 * vocab.vv)) AS logp
+  FROM pairs p
+  JOIN uni u USING (v)
+  LEFT JOIN bi b ON p.v = b.v AND p.w = b.w
+  CROSS JOIN vocab
+),
+nats AS (
+  SELECT doc_id,
+         ROUND(-list_reduce(list(logp ORDER BY i), (a, x) -> a + x)
+               / count(*), 6) AS npt
+  FROM scored GROUP BY doc_id
+),
+good AS (
+  SELECT k.doc_id,
+         list_filter(regexp_split_to_array(k.text, '\s+'),
+                     x -> x <> '') AS ts
+  FROM keeper k JOIN nats USING (doc_id) WHERE npt <= 3.40
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(ts) - s) AS BIGINT) AS n_tokens,
+       array_to_string(ts[s + 1 : s + 32], ' ') AS chunk_text
+FROM (SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - 8, 1), 24)) AS s
+      FROM good WHERE len(ts) >= 1)
+ORDER BY doc_id, chunk_id
+"""
+
+
+SQL_CURATE_WEBTEXT = _sql_curate_webtext()
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per doc; ranked on the raw float64 score
     (libm ln bit-identical across engines), term-asc tiebreak, rounded
@@ -1926,6 +2017,7 @@ QUERIES = {
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "curate_webtext": (q_curate_webtext, SQL_CURATE_WEBTEXT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "domain_mix_sample": (q_domain_mix_sample, SQL_DOMAIN_MIX_SAMPLE),
     "pack_nextfit": (q_pack_nextfit, SQL_PACK_NEXTFIT),

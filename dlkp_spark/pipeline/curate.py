@@ -74,3 +74,67 @@ def curate_corpus(docs: DataFrame,
     # stage 5: deterministic training-mix downsample
     return stratified_sample(canonical, fractions or {},
                              default=default_fraction)
+
+
+def curate_webtext(docs: DataFrame,
+                   languages: tuple[str, ...] = ("en",),
+                   max_dup_word_frac: float = 0.6,
+                   nats_threshold: float = 3.40,
+                   chunk_tokens: int = 32,
+                   overlap: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The MODERN webtext chain (RefinedWeb / Dolma shape), complementing
+    :func:`curate_corpus`'s classic one:
+
+      1. language gate              (textstats.langid_expr — scan-local)
+      2. Gopher repetition gate     (dup-word fraction ≤ threshold —
+                                     same scan-local predicate pass)
+      3. PII scrub                  (pii.PII_RULES fold — REWRITES text,
+                                     still inside the same projection)
+      4. exact dedup keeper         (on the SCRUBBED text — two docs
+                                     differing only in redacted PII
+                                     collapse, which pre-scrub dedup
+                                     would miss; ordering is load-bearing
+                                     and the end-to-end oracle hashes it)
+      5. bigram-LM perplexity gate  (lm.* — the LM is TRAINED ON THE
+                                     SURVIVORS of 1–4, so every upstream
+                                     stage shifts every downstream score;
+                                     docs with <2 tokens have no score
+                                     and drop here)
+      6. sliding-window chunking    (sampling.chunk_documents — final
+                                     training-ready rows)
+
+    Stages 1–3 fuse into one scan (no shuffle before the dedup hash);
+    stage 5 adds the LM's two vocabulary-bounded aggregations + one
+    broadcast + one Arrow scoring pass. Returns
+    ``(doc_id, chunk_id, n_tokens, chunk_text)``.
+    """
+    from pyspark.sql import functions as F
+
+    from dlkp_spark.pipeline.lm import collect_lm, lm_nats, train_bigram_lm
+    from dlkp_spark.pipeline.pii import PII_RULES
+    from dlkp_spark.pipeline.sampling import chunk_documents
+    from dlkp_spark.pipeline.textstats import langid_expr
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    n = F.size(toks)
+    dup_frac = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    gated = docs.filter(langid_expr(text_col).isin(list(languages))
+                        & (dup_frac <= max_dup_word_frac))
+    scrub = F.col(text_col)
+    for _name, pat, tok in PII_RULES:
+        scrub = F.regexp_replace(scrub, pat, tok)
+    scrubbed = gated.select(F.col(id_col).alias("doc_id"),
+                            scrub.alias("text"))
+    kept = exact_dedup(scrubbed, text_col="text", id_col="doc_id")
+    uni, bi, vocab = train_bigram_lm(kept)
+    u, b = collect_lm(uni, bi)
+    scores = lm_nats(kept.sparkSession, kept, u, b, vocab)
+    good = kept.join(
+        scores.filter(F.col("nats_per_token") <= nats_threshold)
+        .select("doc_id"), "doc_id")
+    return chunk_documents(good, chunk_tokens=chunk_tokens, overlap=overlap)
