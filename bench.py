@@ -228,31 +228,54 @@ def section_selective() -> tuple[dict, dict]:
     return timings, extra
 
 
+def _run_contract_queries(names: list[str], app: str) -> dict:
+    """One fresh JVM per call — the headline list outgrew a single
+    session (the accumulated-stage tax documented in BASELINE.md showed
+    up again on the round-5 tail entries: lm_perplexity 8.3 s in a
+    25-query JVM vs 3.1 s fresh)."""
+    from dlkp_spark import contract
+    from dlkp_spark.session import get_spark
+
+    spark = get_spark(app, master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # one UNTIMED pass of the first query: a cold local JVM charges
+    # worker spawn + codegen infrastructure + parquet footer caching to
+    # whatever runs first (measured iter0 11.4 s vs steady-state 1.1 s
+    # for domain_mix_sample) — warmup cost a long-lived cluster pays
+    # once at provisioning, not per query
+    warm_fn, _ = contract.QUERIES[names[0]]
+    warm_fn(spark, SF_DIR).count()
+    spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _sql = contract.QUERIES[name]
+        timings[name] = _best_of(spark, lambda: fn(spark, SF_DIR).count())
+    spark.stop()
+    return timings
+
+
 def section_headline() -> tuple[dict, dict]:
     """Headline contract queries at the sf dir. (Exact ngram_jaccard is
     the sf0.01 oracle variant — quadratic by design; the scale-path dedup
     ops benched here are minhash + simhash.)"""
-    from dlkp_spark import contract
-    from dlkp_spark.session import get_spark
+    return _run_contract_queries(
+        ["bm25_topk", "term_stats", "knn_cosine",
+         "events_hourly", "fingerprint", "minhash_lsh_pairs",
+         "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
+         "tag_metrics", "generation_topk", "ngram_contamination"],
+        "bench_hl"), {}
 
-    spark = get_spark("bench_hl", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
-    timings: dict[str, float] = {}
-    for name in ["bm25_topk", "term_stats", "knn_cosine",
-                 "events_hourly", "fingerprint", "minhash_lsh_pairs",
-                 "simhash_pairs", "dedup_exact_stats", "keyphrase_extract",
-                 "tag_metrics", "generation_topk", "ngram_contamination",
-                 "domain_mix_sample", "repetition_stats", "lm_perplexity",
-                 "span_dedup", "redact_pii", "tfidf_keywords",
-                 "chunk_documents"]:
-        fn, _sql = contract.QUERIES[name]
-        timings[name] = _best_of(spark, lambda: fn(spark, SF_DIR).count())
-    spark.stop()
-    return timings, {}
+
+def section_curation() -> tuple[dict, dict]:
+    """Round-5 curation/pipeline operators, in their own JVM."""
+    return _run_contract_queries(
+        ["domain_mix_sample", "repetition_stats", "lm_perplexity",
+         "span_dedup", "redact_pii", "tfidf_keywords",
+         "chunk_documents", "curate_webtext"],
+        "bench_cur"), {}
 
 
 SECTIONS = {"core": section_core, "selective": section_selective,
-            "headline": section_headline}
+            "headline": section_headline, "curation": section_curation}
 
 
 def main() -> None:
@@ -263,7 +286,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
-    for name in ("core", "selective", "headline"):
+    for name in ("core", "selective", "headline", "curation"):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             capture_output=True, text=True)
