@@ -435,15 +435,37 @@ def _scoped_partials(hits: DataFrame, pairs: DataFrame, kernel) -> DataFrame:
         kernel, "query_id long, doc_id long, score double")
 
 
+def _should_two_wave(n_docs: int, segment_docs: int | None,
+                     cutoff: int) -> bool:
+    """two_wave="auto" dispatch: prune only when the index is segmented
+    finely enough that upper-bound pruning can outrun its own overhead.
+
+    The bench measured the pruning machinery's cost at two extra small
+    jobs (metadata aggregate + threshold join, ~2 s local) while its
+    benefit scales with the number of (query, segment) pairs the bound
+    eliminates — at 98 segments pruning skipped 98.7% of pairs yet still
+    lost wall-clock to the job overhead; at 10^5 segments per term the
+    same ratio is the whole query. The estimated segment count
+    ceil(n_docs / segment_docs) is exact for an uncompacted index and an
+    upper bound after compaction (merge multiplies segment_docs in the
+    rewritten stats), so "auto" errs toward pruning on large indexes —
+    the side where mispredicting costs O(seconds), not O(index scan).
+    """
+    if not segment_docs:
+        return False
+    return -(-int(n_docs) // int(segment_docs)) >= cutoff
+
+
 def batch_topk(
     spark: SparkSession,
     index_dir: str,
     queries: list[tuple[int, list[str]]],
     p: BM25Params | None = None,
     k: int | None = None,
-    two_wave: bool = False,
+    two_wave: bool | str = False,
     wave1_segments: int = 1,
     postings: DataFrame | None = None,
+    auto_cutoff: int = 4096,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
 
@@ -478,6 +500,10 @@ def batch_topk(
     stats_all = load_stats(index_dir)
     stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
     block_size_meta = stats_all.get("block_size", 64)
+    if two_wave == "auto":
+        two_wave = _should_two_wave(stats_all["n_docs"],
+                                    stats_all.get("segment_docs"),
+                                    auto_cutoff)
     qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
     all_terms = sorted({t for _, terms in qmap for t in terms})
     if not all_terms:

@@ -126,3 +126,25 @@ def test_batch_kernel_dense_width_guard(spark, index_dir):
         a.sort_values(["query_id", "doc_id"]).reset_index(drop=True),
         b.sort_values(["query_id", "doc_id"]).reset_index(drop=True))
     assert len(a) > 0
+
+
+def test_auto_dispatch_rule():
+    from dlkp_spark.query.wand import _should_two_wave
+
+    assert not _should_two_wave(20000, 2048, 4096)     # ~10 segments
+    assert _should_two_wave(10**9, 2048, 4096)         # ~488k segments
+    assert not _should_two_wave(10**9, None, 4096)     # legacy stats: off
+    assert _should_two_wave(4096 * 2048, 2048, 4096)   # boundary inclusive
+
+
+def test_auto_matches_both_paths(spark, index_dir):
+    # small index: auto resolves to the one-wave path
+    one = _rows(batch_topk(spark, index_dir, QUERIES[:5], BM25Params(), k=K))
+    auto = _rows(batch_topk(spark, index_dir, QUERIES[:5], BM25Params(), k=K,
+                            two_wave="auto"))
+    assert auto == one
+    # cutoff forced to 1: auto resolves to the two-wave path; results
+    # stay bit-identical (the pruning-correctness invariant)
+    forced = _rows(batch_topk(spark, index_dir, QUERIES[:5], BM25Params(),
+                              k=K, two_wave="auto", auto_cutoff=1))
+    assert forced == one
