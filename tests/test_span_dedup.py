@@ -69,3 +69,13 @@ def test_within_doc_repeats_keep_first(spark):
     got = _run(spark, docs, 5)
     # grams: "p q r s t" at pos 0 and pos 6 -> pos 6..10 covered
     assert got[0] == (12, 5, "p q r s t u v")
+
+
+def test_plan_has_no_window_or_cartesian(spark):
+    # the keeper rule is an agg + join-back, NOT a per-gram window (no
+    # per-key buffering of a mega-duplicated gram), and nothing is
+    # all-pairs
+    df = spark.createDataFrame(PLANTED, "doc_id long, text string")
+    plan = span_dedup(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
