@@ -152,11 +152,16 @@ def main() -> None:
 
     # best-of-2 per level: the sandbox host shows CPU-steal spikes and
     # external load, so a single run can be contaminated; min time is the
-    # standard contention-robust estimator
+    # standard contention-robust estimator. Attempts are INTERLEAVED
+    # across levels (2,8,2,8 — not 2,2,8,8) so a multi-minute external
+    # load window degrades both levels' samples instead of silently
+    # inflating or deflating one side of the ratio: a consecutive layout
+    # produced one artifact with control efficiency 1.16 (level-2 window
+    # loaded, level-8 window quiet), which interleaving makes structurally
+    # unlikely.
     results = {}
-    for lvl in LEVELS:
-        best = None
-        for _attempt in range(2):
+    for _attempt in range(2):
+        for lvl in LEVELS:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(N_DOCS), str(N_QUERIES),
                  "--level", str(lvl), src],
@@ -164,10 +169,10 @@ def main() -> None:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("LEVEL_RESULT ")][-1]
             r = json.loads(line[len("LEVEL_RESULT "):])
+            best = results.get(lvl)
             if best is None or r["build_sec"] + r["query_sec"] < \
                     best["build_sec"] + best["query_sec"]:
-                best = r
-        results[lvl] = best
+                results[lvl] = r
     lo, hi = results[LEVELS[0]], results[LEVELS[1]]
     factor = LEVELS[1] / LEVELS[0]
     build_eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / factor
