@@ -27,16 +27,24 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    # Under spark-submit (detected by the Py4J gateway the launcher opens
+    # for the driver) the master comes from `spark-submit --master` and must
+    # NOT be overridden here — builder.master() wins over submit-time conf,
+    # which would silently turn a cluster run into local[32]. Explicit
+    # `master=` / SPARK_GRAFT_MASTER still take precedence for callers that
+    # want a specific level (tests, scaling bench).
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        None if under_submit else "local[32]")
     # In local[N] mode shuffle partitions default to N (match cores);
     # on a real cluster the caller passes executor-count-aware values.
     if shuffle_partitions is None:
-        if master.startswith("local[") and master[6:-1].isdigit():
+        if master and master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = int(master[6:-1])
         else:
             shuffle_partitions = 32
     b = (
-        SparkSession.builder.master(master)
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -52,6 +60,8 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    if master:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
