@@ -1,0 +1,265 @@
+"""Iceberg-style snapshot log over the posting index — time travel + expiry.
+
+The north-star layout writes posting tables to Iceberg, whose core
+contract is a *snapshot log*: every commit (build / append / compact /
+reconcile) produces an immutable numbered snapshot, a HEAD pointer swap
+makes it current atomically, readers can time-travel to any retained
+snapshot, and old snapshots are reclaimed by an explicit expire — never
+by a writer. This module provides exactly that contract over the engine's
+file-based index dirs (Iceberg jars are not in this environment; on a
+real deployment each ``commit_*`` body maps 1:1 onto an Iceberg
+``table.newOverwrite()/newAppend()...commit()``).
+
+Table layout::
+
+    table_dir/
+      _snapshots/snap_00001.json   immutable snapshot records
+      _snapshots/HEAD.json         current snapshot pointer (atomic swap)
+      v00001/                      a full index dir (segments/, stats.json)
+      v00002/
+
+Immutability: build / compact / reconcile each write a brand-new
+``v{N}`` dir (the existing merge path already never mutates its source);
+append adds NEW ``stream/batch=K`` sub-dirs under the current version dir
+and never rewrites existing ones, so an older append snapshot stays
+readable by filtering to the batch list it recorded at commit time.
+
+Crash safety: the snapshot record and the HEAD swap are both
+tmp-write + ``os.replace``. A writer killed before ``_commit`` leaves an
+orphan ``v{N}`` dir and an unchanged HEAD — readers never see a partial
+commit, and ``expire_snapshots`` reclaims the orphan. Single writer at a
+time is assumed (Iceberg arbitrates concurrent writers with an optimistic
+catalog-pointer CAS; a POSIX dir has no catalog to CAS against).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dlkp_spark.config import IndexConfig
+from dlkp_spark.index.build import build_index, load_postings
+from dlkp_spark.index.merge import merge_segments, reconcile_stream
+from dlkp_spark.streaming.ingest import append_batch
+
+_SNAP_RE = re.compile(r"^snap_(\d{5})\.json$")
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _snap_path(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"snap_{snapshot_id:05d}.json")
+
+
+def _write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def snapshot_ids(table_dir: str) -> list[int]:
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(m.group(1)) for n in os.listdir(d)
+                  if (m := _SNAP_RE.match(n)))
+
+
+def read_snapshot(table_dir: str, snapshot_id: int) -> dict:
+    snap = _read_json(_snap_path(table_dir, snapshot_id))
+    if snap is None:
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} not found in {table_dir} "
+            f"(retained: {snapshot_ids(table_dir)})")
+    return snap
+
+
+def current_snapshot(table_dir: str) -> dict | None:
+    head = _read_json(os.path.join(_snap_dir(table_dir), "HEAD.json"))
+    if head is None:
+        return None
+    return read_snapshot(table_dir, int(head["snapshot_id"]))
+
+
+def history(table_dir: str) -> list[dict]:
+    """All retained snapshots, oldest first (the table's lineage chain)."""
+    return [read_snapshot(table_dir, i) for i in snapshot_ids(table_dir)]
+
+
+def _commit(table_dir: str, operation: str, index_rel: str,
+            lineage: dict, metrics: dict,
+            stream_batches: list[int] | None = None) -> dict:
+    """THE commit point: snapshot record first, HEAD swap second — readers
+    resolve through HEAD, so the table flips atomically or not at all."""
+    ids = snapshot_ids(table_dir)
+    head = current_snapshot(table_dir)
+    snap = {
+        "snapshot_id": (ids[-1] + 1) if ids else 1,
+        "parent_id": head["snapshot_id"] if head else None,
+        "operation": operation,
+        "index_rel": index_rel,
+        "lineage": lineage,
+        "metrics": metrics,
+        "committed_at": time.time(),
+    }
+    if stream_batches is not None:
+        snap["stream_batches"] = sorted(stream_batches)
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    _write_json(_snap_path(table_dir, snap["snapshot_id"]), snap)
+    _write_json(os.path.join(_snap_dir(table_dir), "HEAD.json"),
+                {"snapshot_id": snap["snapshot_id"]})
+    return snap
+
+
+def _next_version_dir(table_dir: str) -> tuple[str, str]:
+    vs = [int(n[1:]) for n in os.listdir(table_dir)
+          if re.match(r"^v\d{5}$", n)] if os.path.isdir(table_dir) else []
+    rel = f"v{(max(vs) + 1) if vs else 1:05d}"
+    return rel, os.path.join(table_dir, rel)
+
+
+def index_dir_of(table_dir: str, as_of: int | None = None) -> str:
+    """Resolve a snapshot (HEAD when ``as_of`` is None) to its index dir."""
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    return os.path.join(table_dir, snap["index_rel"])
+
+
+def commit_build(spark: SparkSession, docs: DataFrame, table_dir: str,
+                 cfg: IndexConfig | None = None, n_shards: int = 4,
+                 n_docs: int | None = None) -> dict:
+    """Full (re)build into a fresh version dir; commits a ``build`` snapshot."""
+    cfg = cfg or IndexConfig()
+    rel, vdir = _next_version_dir(table_dir)
+    os.makedirs(table_dir, exist_ok=True)
+    metrics = build_index(spark, docs, vdir, cfg=cfg, n_shards=n_shards,
+                          resume=False, n_docs=n_docs)
+    return _commit(table_dir, "build", rel,
+                   lineage={"source": "full-build"}, metrics=metrics)
+
+
+def commit_append(spark: SparkSession, pages: DataFrame, table_dir: str,
+                  cfg: IndexConfig | None = None,
+                  batch_id: int | None = None) -> dict:
+    """Append a micro-batch to the CURRENT version dir as a new
+    ``stream/batch=K`` sub-index; commits an ``append`` snapshot recording
+    the batch list visible as of this commit (time-travel reads of older
+    append snapshots filter to their shorter list — existing batch dirs
+    are never rewritten, so they stay valid).
+
+    Stats in appended sub-indexes are batch-local (exactly the
+    streaming-ingest contract); ``commit_reconcile`` folds them into a
+    globally-exact index. ``read_postings`` is exact at every snapshot.
+    """
+    cfg = cfg or IndexConfig()
+    head = current_snapshot(table_dir)
+    if head is None:
+        raise FileNotFoundError(f"{table_dir}: append needs a build snapshot first")
+    vdir = os.path.join(table_dir, head["index_rel"])
+    prior = head.get("stream_batches", [])
+    bid = batch_id if batch_id is not None else (max(prior) + 1 if prior else 0)
+    n = append_batch(spark, pages, vdir, cfg, bid)
+    return _commit(table_dir, "append", head["index_rel"],
+                   lineage={"batch_id": bid, "parent_version": head["index_rel"]},
+                   metrics={"rows_appended": n},
+                   stream_batches=[*prior, bid])
+
+
+def commit_compact(spark: SparkSession, table_dir: str, factor: int = 2,
+                   cfg: IndexConfig | None = None, n_shards: int = 4) -> dict:
+    """Compact the current snapshot into a fresh version dir (the LSM merge);
+    the source version stays readable at its snapshot until expired.
+
+    A snapshot with pending stream batches must ``commit_reconcile`` first:
+    the segment merge reads only the base ``segments/``, so compacting over
+    un-reconciled appends would silently drop them from the new version.
+    """
+    head = current_snapshot(table_dir)
+    if head and head.get("stream_batches"):
+        raise ValueError(
+            f"snapshot {head['snapshot_id']} has pending stream batches "
+            f"{head['stream_batches']} — run commit_reconcile before "
+            "commit_compact (compaction reads only the base segments)")
+    src = index_dir_of(table_dir)
+    rel, vdir = _next_version_dir(table_dir)
+    metrics = merge_segments(spark, src, vdir, factor=factor, cfg=cfg,
+                             n_shards=n_shards)
+    return _commit(table_dir, "compact", rel,
+                   lineage={"compacted_from": current_snapshot(table_dir)["snapshot_id"],
+                            "factor": factor}, metrics=metrics)
+
+
+def commit_reconcile(spark: SparkSession, table_dir: str,
+                     cfg: IndexConfig | None = None, n_shards: int = 4) -> dict:
+    """Fold the current version's streamed batches into one globally-exact
+    index in a fresh version dir (see merge.reconcile_stream)."""
+    src = index_dir_of(table_dir)
+    rel, vdir = _next_version_dir(table_dir)
+    metrics = reconcile_stream(spark, src, vdir, cfg=cfg, n_shards=n_shards)
+    return _commit(table_dir, "reconcile", rel,
+                   lineage={"reconciled_from": current_snapshot(table_dir)["snapshot_id"]},
+                   metrics=metrics)
+
+
+def read_postings(spark: SparkSession, table_dir: str,
+                  as_of: int | None = None) -> DataFrame:
+    """Posting frame exactly as of a snapshot (HEAD when ``as_of`` is None).
+
+    Append snapshots resolve to base segments + ONLY the batches their
+    record lists; build/compact/reconcile snapshots to their version dir.
+    """
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    vdir = os.path.join(table_dir, snap["index_rel"])
+    paths = [os.path.join(vdir, "segments")]
+    for bid in snap.get("stream_batches", []):
+        paths.append(os.path.join(vdir, "stream", f"batch={bid}", "segments"))
+    paths = [p for p in paths if os.path.isdir(p)]
+    assert paths, f"snapshot {snap['snapshot_id']} has no segment data"
+    parts = [spark.read.parquet(p).drop("shard") for p in paths]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Reclaim old snapshots + version dirs no retained snapshot references.
+
+    Keeps the newest ``keep_last`` snapshots (always including HEAD);
+    deletes the rest's records, then any ``v*`` dir not referenced by a
+    kept snapshot — including orphans from writers killed before commit.
+    Returns the expired snapshot ids.
+    """
+    ids = snapshot_ids(table_dir)
+    head = current_snapshot(table_dir)
+    keep = set(ids[-max(keep_last, 1):])
+    if head:
+        keep.add(head["snapshot_id"])
+    expired = [i for i in ids if i not in keep]
+    for i in expired:
+        os.remove(_snap_path(table_dir, i))
+    live_rels = {read_snapshot(table_dir, i)["index_rel"] for i in keep}
+    for name in os.listdir(table_dir):
+        if re.match(r"^v\d{5}$", name) and name not in live_rels:
+            shutil.rmtree(os.path.join(table_dir, name))
+    return expired

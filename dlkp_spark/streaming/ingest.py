@@ -42,7 +42,14 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
     """
     from pyspark.sql import functions as F
 
-    m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
+    m = mf.read_global(index_dir, "ingest.json")
+    if m is None:
+        # first append into this dir: if it already holds a base-built
+        # index, the id space [0, n_docs) is taken — seed the high-water
+        # mark from its stats so appended doc ids stay disjoint from the
+        # base (reconcile_stream's disjoint-ranges invariant)
+        stats = mf.read_global(index_dir, "stats.json")
+        m = {"next_doc_id": int(stats["n_docs"]) if stats else 0, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}
     replay = str(batch_id) in batches
