@@ -176,10 +176,14 @@ def commit_append(spark: SparkSession, pages: DataFrame, table_dir: str,
     prior = head.get("stream_batches", [])
     bid = batch_id if batch_id is not None else (max(prior) + 1 if prior else 0)
     n = append_batch(spark, pages, vdir, cfg, bid)
+    # a replayed batch_id (streaming retry — append_batch is idempotent per
+    # batch) must not be listed twice, or read_postings would double-read it
+    batches = prior if bid in prior else [*prior, bid]
     return _commit(table_dir, "append", head["index_rel"],
-                   lineage={"batch_id": bid, "parent_version": head["index_rel"]},
+                   lineage={"batch_id": bid, "parent_version": head["index_rel"],
+                            "replay": bid in prior},
                    metrics={"rows_appended": n},
-                   stream_batches=[*prior, bid])
+                   stream_batches=batches)
 
 
 def commit_compact(spark: SparkSession, table_dir: str, factor: int = 2,
@@ -233,8 +237,11 @@ def read_postings(spark: SparkSession, table_dir: str,
     paths = [os.path.join(vdir, "segments")]
     for bid in snap.get("stream_batches", []):
         paths.append(os.path.join(vdir, "stream", f"batch={bid}", "segments"))
-    paths = [p for p in paths if os.path.isdir(p)]
-    assert paths, f"snapshot {snap['snapshot_id']} has no segment data"
+    missing = [p for p in paths if not os.path.isdir(p)]
+    assert not missing, (
+        f"snapshot {snap['snapshot_id']} references segment data that is "
+        f"gone: {missing} — a retained snapshot's files must never be "
+        "deleted (expire_snapshots only reclaims unreferenced dirs)")
     parts = [spark.read.parquet(p).drop("shard") for p in paths]
     out = parts[0]
     for p in parts[1:]:

@@ -135,6 +135,24 @@ def test_killed_writer_and_expiry(spark, tmp_path):
     assert before == after and len(before) > 0
 
 
+def test_replayed_append_not_double_listed(spark, tmp_path):
+    """A streaming retry recommits the SAME batch_id; the snapshot must
+    list it once (read_postings would otherwise double-read the batch)."""
+    tdir = str(tmp_path / "tbl")
+    docs = prepare_docs(generate_web_pages(spark, 60, seed=7))
+    snap.commit_build(spark, docs, tdir, cfg=CFG, n_shards=1)
+    b = generate_web_pages(spark, 10, seed=8)
+    s1 = snap.commit_append(spark, b, tdir, cfg=CFG, batch_id=0)
+    s2 = snap.commit_append(spark, b, tdir, cfg=CFG, batch_id=0)  # retry
+    assert s1["stream_batches"] == s2["stream_batches"] == [0]
+    assert s2["lineage"]["replay"] is True
+    n1 = snap.read_postings(spark, tdir, as_of=s1["snapshot_id"]) \
+        .agg(F.sum("n_postings")).collect()[0][0]
+    n2 = snap.read_postings(spark, tdir, as_of=s2["snapshot_id"]) \
+        .agg(F.sum("n_postings")).collect()[0][0]
+    assert n1 == n2
+
+
 def test_compact_refuses_pending_stream_batches(spark, tmp_path):
     """Compaction reads only base segments, so compacting over
     un-reconciled appends would silently drop them — must refuse."""
