@@ -129,8 +129,11 @@ FROM documents GROUP BY lang
 """
 
 
-def _bm25_sql(terms: list[str], k: int, qid_select: str = "") -> str:
+def _bm25_sql(terms: list[str], k: int, qid_select: str = "",
+              conjunctive: bool = False) -> str:
     term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}" \
+        if conjunctive else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
@@ -145,7 +148,7 @@ sc AS (
          sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
   FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id {having}
 )
 SELECT {qid_select} rank, doc_id FROM (
   SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
@@ -212,6 +215,48 @@ def q_bm25_twowave_topk(spark, sf_dir):
     return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
                        two_wave=True)
             .select("query_id", "rank", "doc_id"))
+
+
+CONJ_QUERIES = [*BATCH_QUERIES, (3, ["data", "zzznothere"])]
+
+
+def q_bm25_conjunctive(spark, sf_dir):
+    """AND-semantics BM25 on the DataFrame path: only docs containing EVERY
+    query term rank (one countDistinct folded into the existing per-doc
+    agg + a broadcast term-count join — no extra shuffle). Query 3 carries
+    an out-of-vocab term, pinning empty-result semantics on both sides."""
+    from dlkp_spark.query.bm25 import exact_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in CONJ_QUERIES for t in terms],
+        "query_id long, term string")
+    return (exact_topk(docs, qdf, BM25Params(), k=5, conjunctive=True)
+            .select("query_id", "rank", "doc_id"))
+
+
+def q_bm25_conjunctive_index(spark, sf_dir):
+    """Same AND semantics on the compressed-index batch path: the segment
+    kernel counts per-term presence (either field) and ranks only docs
+    matched by all terms — correct per segment because doc-range
+    segmentation keeps all of a doc's postings in one segment. Gated by
+    the identical SQL oracle as the DataFrame twin."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("conjidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (batch_topk(spark, d, CONJ_QUERIES, BM25Params(), k=5,
+                       conjunctive=True)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_CONJUNCTIVE = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', conjunctive=True)})"
+    for qid, terms in CONJ_QUERIES)
 
 
 def q_kp_seed_hits(spark, sf_dir):
@@ -1971,6 +2016,8 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_topk_batch": (q_bm25_topk_batch, SQL_BM25_TOPK_BATCH),
     "bm25_wand_topk": (q_bm25_wand_topk, SQL_BM25_TOPK),
+    "bm25_conjunctive": (q_bm25_conjunctive, SQL_BM25_CONJUNCTIVE),
+    "bm25_conjunctive_index": (q_bm25_conjunctive_index, SQL_BM25_CONJUNCTIVE),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),

@@ -29,9 +29,16 @@ def exact_topk(
     p: BM25Params | None = None,
     k: int | None = None,
     stats: dict | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """docs(doc_id, tokens, keyphrases) × queries(query_id, term)
     → (query_id, rank, doc_id, score), rank 1..k per query.
+
+    ``conjunctive=True`` gives AND semantics: only docs containing EVERY
+    query term (in any field) are ranked; scores are the same BM25 sums.
+    The filter is one extra ``countDistinct`` in the existing per-doc
+    aggregation plus a broadcast join against per-query term counts — no
+    additional shuffle.
     """
     p = p or BM25Params()
     k = k or p.k
@@ -62,15 +69,25 @@ def exact_topk(
         tfd + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * dld / avgdl))
     contrib = boost * (idf * tf_norm)
 
-    per_doc = (hits
-               .select("query_id", "doc_id",
-                       F.struct(F.col("term"), F.col("field"),
-                                contrib.alias("contrib")).alias("c"))
-               .groupBy("query_id", "doc_id")
-               .agg(F.aggregate(
-                   F.array_sort(F.collect_list("c")),
-                   F.lit(0.0),
-                   lambda acc, x: acc + x["contrib"]).alias("score")))
+    score_agg = F.aggregate(
+        F.array_sort(F.collect_list("c")),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"]).alias("score")
+    scored = hits.select("query_id", "doc_id", "term",
+                         F.struct(F.col("term"), F.col("field"),
+                                  contrib.alias("contrib")).alias("c"))
+    if conjunctive:
+        # AND filter inside the SAME per-doc aggregation (countDistinct adds
+        # an Expand to this agg, not a new shuffle), then a broadcast join
+        # against the tiny per-query term counts
+        per_doc = (scored.groupBy("query_id", "doc_id")
+                   .agg(score_agg, F.countDistinct("term").alias("n_matched")))
+        qn = q.groupBy("query_id").agg(F.countDistinct("term").alias("n_terms"))
+        per_doc = (per_doc.join(F.broadcast(qn), "query_id")
+                   .filter(F.col("n_matched") == F.col("n_terms")))
+    else:
+        per_doc = scored.groupBy("query_id", "doc_id").agg(score_agg)
+    per_doc = per_doc.select("query_id", "doc_id", "score")
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (per_doc.withColumn("rank", F.row_number().over(w))

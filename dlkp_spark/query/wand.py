@@ -314,6 +314,42 @@ def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
     return [(int(uniq[i]), float(acc[i])) for i in order]
 
 
+def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int, float]]:
+    """Exact conjunctive (AND) top-k for one query over one segment.
+
+    Only docs matched by ALL ``need`` distinct query terms are ranked
+    (a term counts as matched via either field). Scores are the same BM25
+    sums in the same (term asc, field asc) float order as ``_taat_topk``,
+    so conjunctive results are bit-identical to the disjunctive scores of
+    the surviving docs. Correct per segment because doc-range segmentation
+    puts ALL of a doc's postings (every term, every field) in one segment.
+
+    ``q_lists`` must be sorted by (term, field) — the kernel's order.
+    """
+    if not q_lists or need <= 0:
+        return []
+    docs = np.concatenate([lst["docs"] for lst in q_lists])
+    contribs = np.concatenate([lst["boost"] * lst["contribs"] for lst in q_lists])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, contribs)
+    cnt = np.zeros(len(uniq), dtype=np.int32)
+    i = 0
+    while i < len(q_lists):
+        j = i
+        while j < len(q_lists) and q_lists[j]["term"] == q_lists[i]["term"]:
+            j += 1
+        tdocs = q_lists[i]["docs"] if j == i + 1 else \
+            np.unique(np.concatenate([q_lists[x]["docs"] for x in range(i, j)]))
+        cnt[np.searchsorted(uniq, tdocs)] += 1
+        i = j
+    cand = np.flatnonzero(cnt == need)
+    if not len(cand):
+        return []
+    order = np.lexsort((uniq[cand], -acc[cand]))[:k]
+    return [(int(uniq[cand[i]]), float(acc[cand[i]])) for i in order]
+
+
 def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
                      k: int) -> list[tuple[int, float]]:
     """Dense-accumulator exact TAAT for one query over one segment.
@@ -361,7 +397,8 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
 
 
 def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
-                       dense_max_width: int = _DENSE_MAX_WIDTH):
+                       dense_max_width: int = _DENSE_MAX_WIDTH,
+                       conjunctive: bool = False):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -393,7 +430,7 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
             # every query (see _taat_topk_dense)
             base = min(int(lst["docs"][0]) for lst in lists)
             width = max(int(lst["docs"][-1]) for lst in lists) - base + 1
-            dense = width <= dense_max_width
+            dense = width <= dense_max_width and not conjunctive
             by_term: dict[str, list[dict]] = {}
             for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
                 if dense:
@@ -406,9 +443,15 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                 # non-dense fallback: the per-query adaptive kernel, which
                 # may still go dense for a query whose own lists span a
                 # narrow doc range, else BMW — never a segment-width buffer
-                top = (_taat_topk_dense(q_lists, acc, base, k) if dense
-                       else exact_topk_lists(q_lists, k, block_size,
-                                             dense_max_width))
+                if conjunctive:
+                    # AND semantics: qmap terms are deduped, so len(terms)
+                    # is the distinct-term requirement
+                    top = _taat_conjunctive(q_lists, len(terms), k)
+                elif dense:
+                    top = _taat_topk_dense(q_lists, acc, base, k)
+                else:
+                    top = exact_topk_lists(q_lists, k, block_size,
+                                           dense_max_width)
                 for d, s in top:
                     qids.append(qid)
                     dids.append(d)
@@ -466,8 +509,16 @@ def batch_topk(
     wave1_segments: int = 1,
     postings: DataFrame | None = None,
     auto_cutoff: int = 4096,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``conjunctive=True`` gives AND semantics: only docs containing every
+    query term are ranked (same BM25 scores). Correct per segment because
+    doc-range segmentation keeps all of a doc's postings in one segment;
+    composes with two-wave pruning (the UB bounds a doc's disjunctive
+    score, which dominates its conjunctive score, so pruning stays
+    admissible).
 
     Unlike ``wand_topk`` (which replicates and re-decodes a posting row for
     every query touching its term), this ships each (term, segment) posting
@@ -516,14 +567,16 @@ def batch_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     if not two_wave:
-        kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False)
+        kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
+                                    conjunctive=conjunctive)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "rank", "doc_id", "score"))
 
-    kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True)
+    kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
+                                conjunctive=conjunctive)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
