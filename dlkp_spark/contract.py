@@ -130,10 +130,15 @@ FROM documents GROUP BY lang
 
 
 def _bm25_sql(terms: list[str], k: int, qid_select: str = "",
-              conjunctive: bool = False) -> str:
+              conjunctive: bool = False, min_match: int | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
-    having = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}" \
-        if conjunctive else ""
+    if conjunctive:
+        having = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
+    elif min_match is not None and min_match > 1:
+        # engine clamps the requirement to the query's own term count
+        having = f"HAVING count(DISTINCT tf.term) >= {min(min_match, len(set(terms)))}"
+    else:
+        having = ""
     return f"""
 WITH toks AS (
   SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
@@ -257,6 +262,32 @@ def q_bm25_conjunctive_index(spark, sf_dir):
 SQL_BM25_CONJUNCTIVE = "\nUNION ALL\n".join(
     f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', conjunctive=True)})"
     for qid, terms in CONJ_QUERIES)
+
+
+MM_QUERIES = [*BATCH_QUERIES, (3, ["data"])]
+
+
+def q_bm25_min_match(spark, sf_dir):
+    """Lucene-style minimum-should-match (≥2 distinct query terms) on the
+    compressed-index batch path. Query 3 has one term, exercising the
+    clamp: the requirement caps at the query's own term count, so it
+    behaves as a plain top-k (both engine and SQL clamp identically)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("mmidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (batch_topk(spark, d, MM_QUERIES, BM25Params(), k=5,
+                       min_match=2)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_MIN_MATCH = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', min_match=2)})"
+    for qid, terms in MM_QUERIES)
 
 
 def q_kp_seed_hits(spark, sf_dir):
@@ -2018,6 +2049,7 @@ QUERIES = {
     "bm25_wand_topk": (q_bm25_wand_topk, SQL_BM25_TOPK),
     "bm25_conjunctive": (q_bm25_conjunctive, SQL_BM25_CONJUNCTIVE),
     "bm25_conjunctive_index": (q_bm25_conjunctive_index, SQL_BM25_CONJUNCTIVE),
+    "bm25_min_match": (q_bm25_min_match, SQL_BM25_MIN_MATCH),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),

@@ -30,15 +30,18 @@ def exact_topk(
     k: int | None = None,
     stats: dict | None = None,
     conjunctive: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     """docs(doc_id, tokens, keyphrases) × queries(query_id, term)
     → (query_id, rank, doc_id, score), rank 1..k per query.
 
     ``conjunctive=True`` gives AND semantics: only docs containing EVERY
     query term (in any field) are ranked; scores are the same BM25 sums.
-    The filter is one extra ``countDistinct`` in the existing per-doc
-    aggregation plus a broadcast join against per-query term counts — no
-    additional shuffle.
+    ``min_match=m`` is the Lucene-style generalization — docs matching at
+    least m distinct query terms rank (m=1 is the default OR, m=#terms is
+    conjunctive; conjunctive=True is sugar for the latter). The filter is
+    one extra ``countDistinct`` in the existing per-doc aggregation plus a
+    broadcast join against per-query term counts — no additional shuffle.
     """
     p = p or BM25Params()
     k = k or p.k
@@ -76,15 +79,17 @@ def exact_topk(
     scored = hits.select("query_id", "doc_id", "term",
                          F.struct(F.col("term"), F.col("field"),
                                   contrib.alias("contrib")).alias("c"))
-    if conjunctive:
-        # AND filter inside the SAME per-doc aggregation (countDistinct adds
-        # an Expand to this agg, not a new shuffle), then a broadcast join
-        # against the tiny per-query term counts
+    if conjunctive or (min_match is not None and min_match > 1):
+        # match-count filter inside the SAME per-doc aggregation
+        # (countDistinct adds an Expand to this agg, not a new shuffle),
+        # then a broadcast join against the tiny per-query term counts
         per_doc = (scored.groupBy("query_id", "doc_id")
                    .agg(score_agg, F.countDistinct("term").alias("n_matched")))
         qn = q.groupBy("query_id").agg(F.countDistinct("term").alias("n_terms"))
+        required = F.col("n_terms") if conjunctive \
+            else F.least(F.lit(int(min_match)), F.col("n_terms"))
         per_doc = (per_doc.join(F.broadcast(qn), "query_id")
-                   .filter(F.col("n_matched") == F.col("n_terms")))
+                   .filter(F.col("n_matched") >= required))
     else:
         per_doc = scored.groupBy("query_id", "doc_id").agg(score_agg)
     per_doc = per_doc.select("query_id", "doc_id", "score")

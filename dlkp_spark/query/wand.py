@@ -315,14 +315,16 @@ def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
 
 
 def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int, float]]:
-    """Exact conjunctive (AND) top-k for one query over one segment.
+    """Exact match-count-gated top-k for one query over one segment.
 
-    Only docs matched by ALL ``need`` distinct query terms are ranked
-    (a term counts as matched via either field). Scores are the same BM25
-    sums in the same (term asc, field asc) float order as ``_taat_topk``,
-    so conjunctive results are bit-identical to the disjunctive scores of
-    the surviving docs. Correct per segment because doc-range segmentation
-    puts ALL of a doc's postings (every term, every field) in one segment.
+    Only docs matched by at least ``need`` distinct query terms are ranked
+    (a term counts as matched via either field) — ``need`` = the query's
+    term count for conjunctive AND, or a smaller Lucene-style
+    minimum-should-match. Scores are the same BM25 sums in the same
+    (term asc, field asc) float order as ``_taat_topk``, so results are
+    bit-identical to the disjunctive scores of the surviving docs. Correct
+    per segment because doc-range segmentation puts ALL of a doc's
+    postings (every term, every field) in one segment.
 
     ``q_lists`` must be sorted by (term, field) — the kernel's order.
     """
@@ -343,7 +345,7 @@ def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int,
             np.unique(np.concatenate([q_lists[x]["docs"] for x in range(i, j)]))
         cnt[np.searchsorted(uniq, tdocs)] += 1
         i = j
-    cand = np.flatnonzero(cnt == need)
+    cand = np.flatnonzero(cnt >= need)
     if not len(cand):
         return []
     order = np.lexsort((uniq[cand], -acc[cand]))[:k]
@@ -398,7 +400,8 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
 
 def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        dense_max_width: int = _DENSE_MAX_WIDTH,
-                       conjunctive: bool = False):
+                       conjunctive: bool = False,
+                       min_match: int | None = None):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -430,7 +433,8 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
             # every query (see _taat_topk_dense)
             base = min(int(lst["docs"][0]) for lst in lists)
             width = max(int(lst["docs"][-1]) for lst in lists) - base + 1
-            dense = width <= dense_max_width and not conjunctive
+            gated = conjunctive or (min_match is not None and min_match > 1)
+            dense = width <= dense_max_width and not gated
             by_term: dict[str, list[dict]] = {}
             for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
                 if dense:
@@ -443,10 +447,13 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                 # non-dense fallback: the per-query adaptive kernel, which
                 # may still go dense for a query whose own lists span a
                 # narrow doc range, else BMW — never a segment-width buffer
-                if conjunctive:
-                    # AND semantics: qmap terms are deduped, so len(terms)
-                    # is the distinct-term requirement
-                    top = _taat_conjunctive(q_lists, len(terms), k)
+                if gated:
+                    # qmap terms are deduped, so len(terms) is the
+                    # distinct-term requirement for AND; min_match clamps
+                    # to it (a 2-term query with min_match=3 needs both)
+                    need = len(terms) if conjunctive \
+                        else min(int(min_match), len(terms))
+                    top = _taat_conjunctive(q_lists, need, k)
                 elif dense:
                     top = _taat_topk_dense(q_lists, acc, base, k)
                 else:
@@ -510,14 +517,17 @@ def batch_topk(
     postings: DataFrame | None = None,
     auto_cutoff: int = 4096,
     conjunctive: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
 
     ``conjunctive=True`` gives AND semantics: only docs containing every
-    query term are ranked (same BM25 scores). Correct per segment because
+    query term are ranked (same BM25 scores); ``min_match=m`` is the
+    Lucene-style generalization (docs matching ≥ m distinct terms,
+    clamped to the query's term count). Correct per segment because
     doc-range segmentation keeps all of a doc's postings in one segment;
     composes with two-wave pruning (the UB bounds a doc's disjunctive
-    score, which dominates its conjunctive score, so pruning stays
+    score, which dominates its gated score, so pruning stays
     admissible).
 
     Unlike ``wand_topk`` (which replicates and re-decodes a posting row for
@@ -568,7 +578,7 @@ def batch_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     if not two_wave:
         kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
-                                    conjunctive=conjunctive)
+                                    conjunctive=conjunctive, min_match=min_match)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -576,7 +586,7 @@ def batch_topk(
                 .select("query_id", "rank", "doc_id", "score"))
 
     kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
-                                conjunctive=conjunctive)
+                                conjunctive=conjunctive, min_match=min_match)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to

@@ -107,6 +107,39 @@ def test_two_wave_composes(spark, corpus):
     assert one == two
 
 
+def test_min_match_paths_agree(spark, corpus):
+    """min_match=2 on the index path equals the DataFrame path, including
+    the 1-term clamp query (requirement caps at the term count)."""
+    docs, idx = corpus
+    queries = [*QUERIES, (4, ["w0004"])]  # 1-term: clamp to 1
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id long, term string")
+    a = _rows(exact_topk(docs, qdf, BM25Params(), k=K, min_match=2)
+              .select("query_id", "rank", "doc_id"))
+    b = _rows(batch_topk(spark, idx, queries, BM25Params(), k=K,
+                         min_match=2).select("query_id", "rank", "doc_id"))
+    assert a == b and len(a) > 0
+    # min_match is between OR and AND: per query, result-set sizes nest
+    dis = batch_topk(spark, idx, QUERIES, BM25Params(), k=K)
+    con = batch_topk(spark, idx, QUERIES, BM25Params(), k=K, conjunctive=True)
+    mm = batch_topk(spark, idx, QUERIES, BM25Params(), k=K, min_match=2)
+    import collections
+    sizes = {}
+    for name, df in (("dis", dis), ("mm", mm), ("con", con)):
+        c = collections.Counter(r["query_id"] for r in df.collect())
+        sizes[name] = c
+    for qid, _terms in QUERIES:
+        assert sizes["con"][qid] <= sizes["mm"][qid] <= sizes["dis"][qid]
+
+
+def test_min_match_one_is_plain_topk(spark, corpus):
+    _, idx = corpus
+    a = _rows(batch_topk(spark, idx, QUERIES, BM25Params(), k=K))
+    b = _rows(batch_topk(spark, idx, QUERIES, BM25Params(), k=K, min_match=1))
+    assert a == b
+
+
 def test_oov_term_returns_nothing(spark, corpus):
     _, idx = corpus
     got = batch_topk(spark, idx, [(9, ["w0002", "zzznothere"])],
