@@ -52,3 +52,8 @@ class IndexConfig:
     n_term_partitions: int = 32  # range partitions over term for the build
     fields: tuple = (FIELD_BODY, FIELD_KP)
     bm25: BM25Params = field(default_factory=BM25Params)
+    # opt-in positional postings (per-doc token positions, delta+varbyte in
+    # a pos_vb column) — enables exact phrase queries (query/phrase.py) at
+    # the cost of a posexplode build pass and a larger index; the default
+    # build layout is byte-identical with this off
+    positions: bool = False

@@ -290,6 +290,69 @@ SQL_BM25_MIN_MATCH = "\nUNION ALL\n".join(
     for qid, terms in MM_QUERIES)
 
 
+PHRASE_QUERIES = [(0, ["table", "hash"]), (1, ["stream", "table", "hash"]),
+                  (2, ["hash", "zzznothere"])]
+
+
+def _phrase_sql(terms: list[str], k: int, qid: int) -> str:
+    """Exact phrase oracle: tokens are string_split(lower(text), ' '), so
+    phrase adjacency ≡ substring match of the space-joined phrase against
+    the space-padded lower text. Matched docs rank by the BM25 sum of the
+    phrase's distinct terms — identical scoring to the plain BM25 oracle."""
+    phrase = " ".join(terms)
+    uniq = sorted(set(terms))
+    term_list = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+m AS (SELECT doc_id FROM documents
+      WHERE ' ' || lower(text) || ' ' LIKE '% {phrase} %'),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN m USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """Exact phrase top-k over a positional index (round 5): per-doc token
+    positions delta+varbyte-encoded in a pos_vb column
+    (IndexConfig(positions=True)), adjacency decided segment-locally, docs
+    ranked by the BM25 sum of the phrase's distinct terms. The DuckDB
+    oracle replays adjacency as a substring match on the space-joined
+    token stream. Query 2 carries an out-of-vocab term (empty on both
+    sides); query 1 is a trigram."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.phrase import phrase_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("phraseidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32,
+                                n_term_partitions=8, positions=True),
+                n_shards=1, resume=False)
+    return (phrase_topk(spark, d, PHRASE_QUERIES, BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_PHRASE = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_phrase_sql(terms, 5, qid)})"
+    for qid, terms in PHRASE_QUERIES)
+
+
 def q_kp_seed_hits(spark, sf_dir):
     t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
     return (t.filter(F.col("term").isin(KP_SEEDS))
@@ -2050,6 +2113,7 @@ QUERIES = {
     "bm25_conjunctive": (q_bm25_conjunctive, SQL_BM25_CONJUNCTIVE),
     "bm25_conjunctive_index": (q_bm25_conjunctive_index, SQL_BM25_CONJUNCTIVE),
     "bm25_min_match": (q_bm25_min_match, SQL_BM25_MIN_MATCH),
+    "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),

@@ -41,13 +41,16 @@ from dlkp_spark.analysis.analyzer import analyze, with_doc_ids
 from dlkp_spark.analysis.keyphrase import with_keyphrases
 from dlkp_spark.config import FIELD_BODY, FIELD_KP, IndexConfig
 from dlkp_spark.index import manifest as mf
-from dlkp_spark.index.codec import encode_postings
+from dlkp_spark.index.codec import encode_positions, encode_postings
 
 POSTINGS_SCHEMA = (
     "term string, field int, segment long, df long, n_postings long, "
     "docs_vb binary, tfs_vb binary, dls_vb binary, "
     "block_max array<double>, block_last array<long>, max_contrib double"
 )
+# positional layout (IndexConfig.positions=True): one extra varbyte blob of
+# per-doc token positions, aligned with the doc/tf columns
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos_vb binary"
 
 
 def prepare_docs(web_pages: DataFrame, validate: bool = True,
@@ -97,6 +100,30 @@ def token_table(docs: DataFrame) -> DataFrame:
     return (body.unionByName(kp)
             .groupBy("doc_id", "field", "term", "dl")
             .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def token_table_positions(docs: DataFrame) -> DataFrame:
+    """Positional token table: (doc_id, field, term, tf, dl, positions).
+
+    ``positions`` are 0-based offsets into the field's token stream
+    (body = the doc's tokens; kp = the flattened keyphrase token stream),
+    sorted ascending. Used only for ``IndexConfig(positions=True)`` builds:
+    the posexplode + collect_list shape is heavier than the plain
+    :func:`token_table` explode, which stays the default build path.
+    """
+    kp_tokens = F.flatten(F.transform("keyphrases", lambda kp: F.split(kp, " ")))
+    body = docs.select(
+        "doc_id", F.lit(FIELD_BODY).alias("field"),
+        F.size("tokens").alias("dl"),
+        F.posexplode("tokens").alias("pos", "term"))
+    kp = (docs.select("doc_id", kp_tokens.alias("kp_toks"))
+          .select("doc_id", F.lit(FIELD_KP).alias("field"),
+                  F.size("kp_toks").alias("dl"),
+                  F.posexplode("kp_toks").alias("pos", "term")))
+    return (body.unionByName(kp)
+            .groupBy("doc_id", "field", "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.array_sort(F.collect_list("pos")).alias("positions")))
 
 
 def doclen_table(docs: DataFrame) -> DataFrame:
@@ -223,14 +250,19 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
         dls = pdf["dl"].to_numpy()
         dfg = pdf["df"].to_numpy()
         n = len(pdf)
+        positional = "positions" in pdf.columns
+        pos_col = pdf["positions"].to_numpy() if positional else None
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
             | (segments[1:] != segments[:-1]))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [n]))
-        out = {k: [] for k in ("term", "field", "segment", "df", "n_postings",
-                               "docs_vb", "tfs_vb", "dls_vb", "block_max",
-                               "block_last", "max_contrib")}
+        cols = ["term", "field", "segment", "df", "n_postings",
+                "docs_vb", "tfs_vb", "dls_vb", "block_max",
+                "block_last", "max_contrib"]
+        if positional:
+            cols.append("pos_vb")
+        out = {k: [] for k in cols}
         for s, e in zip(starts, ends):
             fld = int(fields[s])
             df_global = int(dfg[s])
@@ -238,6 +270,10 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
                 doc_ids[s:e], tfs[s:e], dls[s:e],
                 idf=idf_fn(n_docs, df_global), avgdl=avgdl[fld],
                 p=cfg.bm25, block_size=cfg.block_size)
+            if positional:
+                flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                                       for a in pos_col[s:e]])
+                out["pos_vb"].append(encode_positions(flat, tfs[s:e]))
             out["term"].append(terms[s])
             out["field"].append(fld)
             out["segment"].append(int(segments[s]))
@@ -312,7 +348,8 @@ def build_index(
     # full re-derivation. (A: docs+tokens persist ~50 s avg; B: nothing
     # ~43 s; C: tokens-only ~35 s.)
     docs = docs.select("doc_id", "tokens", "keyphrases")
-    tokens = token_table(docs).withColumn(
+    tok_fn = token_table_positions if cfg.positions else token_table
+    tokens = tok_fn(docs).withColumn(
         "segment", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")).persist()
     if n_docs is None:
         # NB: re-evaluates the docs plan (for prepare_docs output that is
@@ -327,6 +364,7 @@ def build_index(
         "config_hash": ch,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
+        "positions": cfg.positions,
     })
     tokens_df = tokens.join(dfs, ["field", "term"])
 
@@ -353,10 +391,11 @@ def build_index(
         # (term, field, segment) group maps to exactly one shard), so the
         # encode kernel stays shard-agnostic and ALL shards write in one
         # job via partitionBy — no per-shard job barrier.
+        schema = POSTINGS_SCHEMA_POS if cfg.positions else POSTINGS_SCHEMA
         encoded = (pending
                    .repartition(cfg.n_term_partitions, "term", "field", "segment")
                    .sortWithinPartitions("term", "field", "segment", "doc_id")
-                   .mapInPandas(_encode_partition(stats, cfg), POSTINGS_SCHEMA)
+                   .mapInPandas(_encode_partition(stats, cfg), schema)
                    .withColumn("shard", (F.col("segment") % n_shards).cast("int")))
         tmp_root = os.path.join(index_dir, "_tmp", "build")
         shutil.rmtree(tmp_root, ignore_errors=True)

@@ -193,3 +193,45 @@ def decode_postings(docs_vb: bytes, tfs_vb: bytes, dls_vb: bytes) -> tuple[np.nd
     tfs = varbyte_decode(tfs_vb).astype(np.int64)
     dls = varbyte_decode(dls_vb).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def encode_positions(flat_pos: np.ndarray, counts: np.ndarray) -> bytes:
+    """Encode per-doc token-position lists (opt-in positional index).
+
+    ``flat_pos`` is every doc's strictly-increasing positions concatenated
+    in posting (doc asc) order; ``counts`` is positions-per-doc (== tf).
+    Per-doc delta coding: each doc's first position is absolute, the rest
+    are gaps — one varbyte stream for the whole list, symmetric with the
+    doc-id column.
+    """
+    flat_pos = np.asarray(flat_pos, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    assert int(counts.sum()) == flat_pos.size, "counts disagree with positions"
+    if flat_pos.size == 0:
+        return varbyte_encode(np.empty(0, dtype=np.uint64))
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    deltas = np.empty_like(flat_pos)
+    deltas[1:] = flat_pos[1:] - flat_pos[:-1]
+    deltas[starts] = flat_pos[starts]
+    assert bool(np.all(deltas >= 0)), "positions must be sorted per doc"
+    return varbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(pos_vb: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → flat absolute positions.
+
+    ``counts`` must be the posting list's tf column (positions per doc).
+    Same global-cumsum-minus-prefix-offset trick as the batched doc-id
+    decode — integer-exact.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    vals = varbyte_decode(pos_vb).astype(np.int64)
+    assert int(counts.sum()) == vals.size, "counts disagree with pos blob"
+    if vals.size == 0:
+        return vals
+    cs = np.cumsum(vals)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    offsets = np.zeros(len(starts), dtype=np.int64)
+    np.copyto(offsets, cs[starts - 1] if cs.size else offsets,
+              where=starts > 0)
+    return cs - np.repeat(offsets, counts)

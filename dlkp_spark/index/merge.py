@@ -59,6 +59,14 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     import dataclasses
 
     stats = load_stats(index_dir)
+    if stats.get("positions"):
+        # the merge kernel re-encodes doc/tf/dl blobs only; compacting a
+        # positional index would silently drop pos_vb — refuse until the
+        # kernel carries positions through (rebuild with positions instead)
+        raise NotImplementedError(
+            "merge_segments does not yet re-encode positional postings "
+            "(index built with IndexConfig(positions=True)) — rebuild the "
+            "compacted index with positions instead")
     if cfg is None:
         cfg = IndexConfig()
         if "block_size" in stats:
@@ -95,6 +103,11 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
     sub_dirs = sorted(_glob.glob(os.path.join(index_dir, "stream", "batch=*")))
     base = os.path.join(index_dir, "segments")
     all_stats = [load_stats(d) for d in sub_dirs]
+    if any(s.get("positions") for s in all_stats) or \
+            (os.path.isdir(base) and load_stats(index_dir).get("positions")):
+        raise NotImplementedError(
+            "reconcile_stream does not yet re-encode positional postings — "
+            "rebuild the reconciled index with positions instead")
     if os.path.isdir(base):
         all_stats.append(load_stats(index_dir))
     n_docs = sum(s["n_docs"] for s in all_stats)

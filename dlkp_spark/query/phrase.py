@@ -1,0 +1,155 @@
+"""Exact phrase top-k over the positional index (IndexConfig(positions=True)).
+
+A phrase ["a", "b", "c"] matches a doc iff the BODY token stream contains
+the tokens consecutively: ∃s with s∈P(a), s+1∈P(b), s+2∈P(c), where P(t)
+is the doc's position set for t. Matched docs are ranked by the BM25 sum
+of the phrase's distinct terms (body field, no boost) — the same scoring
+the plain-SQL oracle computes over the same term set, restricted to docs
+whose space-joined token stream contains the phrase substring.
+
+Scale shape mirrors batch_topk: a phrase touches only its terms' posting
+rows (broadcast join), work fans out per segment (all of a doc's postings
+live in its doc-range segment, so adjacency is decided segment-locally),
+and only top-k rows leave each kernel. Position blobs decode lazily per
+touched (term, segment) row — never the whole index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import FIELD_BODY, BM25Params
+from dlkp_spark.index.build import load_postings, load_stats
+from dlkp_spark.index.codec import decode_positions, decode_postings_batch
+from dlkp_spark.oracle import idf as idf_fn
+
+
+def _decode_positional_group(g: pd.DataFrame, stats: dict, p: BM25Params) -> dict:
+    """One segment's body posting rows → {term: list-dict with positions}.
+
+    Reuses the batched doc/tf/dl decode; the pos blob decodes per row
+    (counts = the row's tf values). A term may legitimately have several
+    rows only across segments — within one (segment, field) it is unique,
+    so the dict maps term → one entry.
+    """
+    docs_f, tfs_f, dls_f, counts = decode_postings_batch(
+        g["docs_vb"].tolist(), g["tfs_vb"].tolist(), g["dls_vb"].tolist())
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    dfv = g["df"].to_numpy()
+    terms = g["term"].to_numpy()
+    pos_bufs = g["pos_vb"].tolist()
+    avgdl = stats["avgdl"][FIELD_BODY]
+    out = {}
+    for i in range(len(g)):
+        s, e = offsets[i], offsets[i + 1]
+        tfs = tfs_f[s:e]
+        tff = tfs.astype(np.float64)
+        dlf = dls_f[s:e].astype(np.float64)
+        tfn = (tff * (p.k1 + 1.0)) / (tff + p.k1 * (1.0 - p.b + p.b * dlf / avgdl))
+        pos = decode_positions(pos_bufs[i], tfs)
+        out[str(terms[i])] = {
+            "docs": docs_f[s:e],
+            "contribs": idf_fn(stats["n_docs"], int(dfv[i])) * tfn,
+            "pos": pos,
+            "pos_off": np.concatenate(([0], np.cumsum(tfs))),
+        }
+    return out
+
+
+def _doc_positions(entry: dict, doc_idx: int) -> np.ndarray:
+    s, e = entry["pos_off"][doc_idx], entry["pos_off"][doc_idx + 1]
+    return entry["pos"][s:e]
+
+
+def _phrase_matches(by_term: dict, phrase: list[str]) -> list[tuple[int, float]]:
+    """(doc_id, score) for every doc of one segment containing the phrase."""
+    uniq_terms = sorted(set(phrase))
+    entries = [by_term.get(t) for t in uniq_terms]
+    if any(e is None for e in entries):
+        return []
+    # candidates: docs containing every distinct term, smallest list first
+    entries_by_size = sorted(entries, key=lambda e: len(e["docs"]))
+    cand = entries_by_size[0]["docs"]
+    for e in entries_by_size[1:]:
+        cand = cand[np.isin(cand, e["docs"], assume_unique=True)]
+        if not len(cand):
+            return []
+    lookup = {t: by_term[t] for t in uniq_terms}
+    out = []
+    for d in cand:
+        run = None
+        for i, t in enumerate(phrase):
+            e = lookup[t]
+            di = int(np.searchsorted(e["docs"], d))
+            ps = _doc_positions(e, di) - i
+            run = ps if run is None else run[np.isin(run, ps, assume_unique=True)]
+            if not len(run):
+                break
+        else:
+            # score: BM25 sum over distinct terms in term-asc order (the
+            # oracle's float order)
+            score = 0.0
+            for t in uniq_terms:
+                e = lookup[t]
+                score += float(e["contribs"][int(np.searchsorted(e["docs"], d))])
+            out.append((int(d), score))
+    return out
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase search → (query_id, rank, doc_id, score), rank 1..k.
+
+    Requires an index built with ``IndexConfig(positions=True)``; raises
+    otherwise (the posting rows have no pos_vb column to decode).
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    if not stats_all.get("positions"):
+        raise ValueError(
+            f"{index_dir} was built without positions — phrase_topk needs "
+            "IndexConfig(positions=True)")
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap = [(int(qid), [str(t) for t in terms]) for qid, terms in phrases]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    hits = (postings.filter(F.col("field") == FIELD_BODY)
+            .join(F.broadcast(t_df), "term"))
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        by_term = _decode_positional_group(g, stats, p)
+        qids, dids, scores = [], [], []
+        for qid, phrase in qmap:
+            top = sorted(_phrase_matches(by_term, phrase),
+                         key=lambda ds: (-ds[1], ds[0]))[:k]
+            for d, s in top:
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))

@@ -1,0 +1,140 @@
+"""Positional index + exact phrase top-k.
+
+Pinned here:
+- position codec roundtrip over randomized per-doc position lists;
+- phrase results equal a pure-Python brute force over the corpus token
+  streams (adjacency + BM25-sum scoring, tie-broken (score desc, doc asc));
+- the default (positions=False) build layout is unchanged — no pos_vb;
+- phrase_topk refuses a non-positional index; merge/reconcile refuse a
+  positional one (the merge kernel would silently drop pos_vb).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dlkp_spark.config import BM25Params, IndexConfig
+from dlkp_spark.corpus import generate_web_pages
+from dlkp_spark.index.build import build_index, load_postings, prepare_docs
+from dlkp_spark.index.codec import decode_positions, encode_positions
+from dlkp_spark.oracle import idf as idf_fn
+from dlkp_spark.query.phrase import phrase_topk
+
+N_DOCS = 250
+K = 10
+CFG = IndexConfig(segment_docs=64, block_size=16, n_term_partitions=8,
+                  positions=True)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = prepare_docs(generate_web_pages(spark, N_DOCS, seed=42))
+    idx = str(tmp_path_factory.mktemp("phrase") / "idx")
+    build_index(spark, docs, idx, cfg=CFG, n_shards=2)
+    toks = {r["doc_id"]: r["tokens"]
+            for r in docs.select("doc_id", "tokens").collect()}
+    return idx, toks
+
+
+def _brute_phrase(toks: dict, phrase: list[str], k: int):
+    """Reference: scan every doc's body token list for the phrase, score
+    matched docs with body BM25 over the phrase's distinct terms."""
+    n = len(phrase)
+    matched = []
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            if ts[i:i + n] == phrase:
+                matched.append(d)
+                break
+    if not matched:
+        return []
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in set(phrase)}
+    out = []
+    for d in matched:
+        score = 0.0
+        for t in sorted(set(phrase)):
+            tf = float(toks[d].count(t))
+            dl = float(len(toks[d]))
+            score += idf_fn(n_docs, dfs[t]) * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        out.append((d, score))
+    out.sort(key=lambda ds: (-ds[1], ds[0]))
+    return out[:k]
+
+
+def test_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        counts = rng.integers(1, 8, size=int(rng.integers(1, 12)))
+        pos = [np.sort(rng.choice(200, size=c, replace=False)) for c in counts]
+        flat = np.concatenate(pos)
+        assert np.array_equal(decode_positions(
+            encode_positions(flat, counts), counts), flat)
+
+
+def test_phrase_matches_brute_force(spark, built):
+    idx, toks = built
+    # pick live bigrams/trigram from the corpus itself + one absent phrase
+    some = next(ts for ts in toks.values() if len(ts) >= 3)
+    phrases = [(0, list(some[0:2])), (1, list(some[1:4])),
+               (2, ["w0002", "zzznothere"])]
+    got = phrase_topk(spark, idx, phrases, BM25Params(), k=K).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, phrase in phrases:
+        want = _brute_phrase(toks, phrase, K)
+        have = sorted(by_q.get(qid, []))
+        assert [(d) for _, d, _ in have] == [d for d, _ in want], \
+            (qid, phrase, have, want)
+        for (_, _, s), (_, ws) in zip(have, want):
+            assert s == pytest.approx(ws, rel=1e-12)
+
+
+def test_repeated_term_phrase(spark, built):
+    idx, toks = built
+    # find a doc with a repeated adjacent pattern "x y x" if any; else
+    # synthesize the check as absent-phrase (still exercises the slot walk)
+    target = None
+    for ts in toks.values():
+        for i in range(len(ts) - 2):
+            if ts[i] == ts[i + 2] and ts[i] != ts[i + 1]:
+                target = [ts[i], ts[i + 1], ts[i + 2]]
+                break
+        if target:
+            break
+    phrase = target or ["w0002", "w0003", "w0002"]
+    got = phrase_topk(spark, idx, [(0, phrase)], BM25Params(), k=K).collect()
+    want = _brute_phrase(toks, phrase, K)
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == \
+        [d for d, _ in want]
+
+
+def test_default_layout_unchanged(spark, built, tmp_path):
+    docs = prepare_docs(generate_web_pages(spark, 40, seed=5))
+    idx = str(tmp_path / "plain")
+    build_index(spark, docs, idx,
+                cfg=IndexConfig(segment_docs=64, block_size=16,
+                                n_term_partitions=4), n_shards=1)
+    cols = load_postings(spark, idx).columns
+    assert "pos_vb" not in cols
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_topk(spark, idx, [(0, ["w0002", "w0003"])], BM25Params(), k=K)
+
+
+def test_positional_index_has_pos_for_every_row(spark, built):
+    idx, _ = built
+    df = load_postings(spark, idx)
+    assert "pos_vb" in df.columns
+    assert df.filter(F.col("pos_vb").isNull()).count() == 0
+
+
+def test_merge_refuses_positional(spark, built, tmp_path):
+    from dlkp_spark.index.merge import merge_segments
+
+    idx, _ = built
+    with pytest.raises(NotImplementedError, match="positional"):
+        merge_segments(spark, idx, str(tmp_path / "m"), factor=2, cfg=CFG)
