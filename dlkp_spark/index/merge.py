@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from dlkp_spark.config import IndexConfig
 from dlkp_spark.index import manifest as mf
-from dlkp_spark.index.build import POSTINGS_SCHEMA, load_postings, load_stats
-from dlkp_spark.index.codec import decode_postings_batch, encode_postings
+from dlkp_spark.index.build import (POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS,
+                                    load_postings, load_stats)
+from dlkp_spark.index.codec import (decode_positions, decode_postings_batch,
+                                    encode_positions, encode_postings)
 from dlkp_spark.oracle import idf as idf_fn
 
 
@@ -59,14 +61,6 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     import dataclasses
 
     stats = load_stats(index_dir)
-    if stats.get("positions"):
-        # the merge kernel re-encodes doc/tf/dl blobs only; compacting a
-        # positional index would silently drop pos_vb — refuse until the
-        # kernel carries positions through (rebuild with positions instead)
-        raise NotImplementedError(
-            "merge_segments does not yet re-encode positional postings "
-            "(index built with IndexConfig(positions=True)) — rebuild the "
-            "compacted index with positions instead")
     if cfg is None:
         cfg = IndexConfig()
         if "block_size" in stats:
@@ -103,11 +97,14 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
     sub_dirs = sorted(_glob.glob(os.path.join(index_dir, "stream", "batch=*")))
     base = os.path.join(index_dir, "segments")
     all_stats = [load_stats(d) for d in sub_dirs]
-    if any(s.get("positions") for s in all_stats) or \
-            (os.path.isdir(base) and load_stats(index_dir).get("positions")):
-        raise NotImplementedError(
-            "reconcile_stream does not yet re-encode positional postings — "
-            "rebuild the reconciled index with positions instead")
+    pos_flags = {bool(s.get("positions")) for s in all_stats}
+    if os.path.isdir(base):
+        pos_flags.add(bool(load_stats(index_dir).get("positions")))
+    if len(pos_flags) > 1:
+        raise ValueError(
+            "reconcile_stream: sub-indexes mix positional and "
+            "non-positional layouts — rebuild the appends with a "
+            "consistent IndexConfig.positions")
     if os.path.isdir(base):
         all_stats.append(load_stats(index_dir))
     n_docs = sum(s["n_docs"] for s in all_stats)
@@ -119,6 +116,7 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
         "segment_docs": all_stats[0].get("segment_docs", cfg.segment_docs),
         "block_size": cfg.block_size,
         "config_hash": mf.config_hash((cfg, "v1")),
+        "positions": pos_flags.pop() if pos_flags else False,
     }
     paths = [os.path.join(d, "segments") for d in sub_dirs]
     if os.path.isdir(base):
@@ -151,6 +149,8 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
 
     key = ["term", "field", "new_segment"]
 
+    positional = bool(stats.get("positions"))
+
     def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
         """Vectorized group iteration: numpy change-point detection over
         the sorted keys + positional slices of column arrays — pandas
@@ -167,17 +167,23 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
         d_f, t_f, l_f, counts = decode_postings_batch(
             pdf["docs_vb"].tolist(), pdf["tfs_vb"].tolist(), pdf["dls_vb"].tolist())
         offs = np.concatenate(([0], np.cumsum(counts)))
+        pos_bufs = pdf["pos_vb"].tolist() if positional else None
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (fields[1:] != fields[:-1])
             | (segs[1:] != segs[:-1]))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [n]))
-        out = {k: [] for k in ("term", "field", "segment", "df", "n_postings",
-                               "docs_vb", "tfs_vb", "dls_vb", "block_max",
-                               "block_last", "max_contrib")}
+        cols = ["term", "field", "segment", "df", "n_postings",
+                "docs_vb", "tfs_vb", "dls_vb", "block_max",
+                "block_last", "max_contrib"]
+        if positional:
+            cols.append("pos_vb")
+        out = {k: [] for k in cols}
         for s, e in zip(starts, ends):
             parts = [(d_f[offs[i]:offs[i + 1]], t_f[offs[i]:offs[i + 1]],
-                      l_f[offs[i]:offs[i + 1]]) for i in range(s, e)]
+                      l_f[offs[i]:offs[i + 1]],
+                      decode_positions(pos_bufs[i], t_f[offs[i]:offs[i + 1]])
+                      if positional else None) for i in range(s, e)]
             # sub-lists cover disjoint doc ranges but may share a segment
             # id (e.g. streamed batches meeting at a segment boundary) —
             # order by each part's first doc id so the concatenation stays
@@ -186,12 +192,18 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             if e - s > 1:
                 parts.sort(key=lambda p: int(p[0][0]))
             field = int(fields[s])
+            tfs_cat = np.concatenate([p[1] for p in parts])
             enc = encode_postings(
                 np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
+                tfs_cat,
                 np.concatenate([p[2] for p in parts]),
                 idf=idf_fn(n_docs, int(dfs[s])),
                 avgdl=avgdl[field], p=cfg.bm25, block_size=cfg.block_size)
+            if positional:
+                # positions ride along in the same part order (doc asc),
+                # re-delta-coded against the merged per-doc boundaries
+                out["pos_vb"].append(encode_positions(
+                    np.concatenate([p[3] for p in parts]), tfs_cat))
             out["term"].append(terms[s])
             out["field"].append(field)
             out["segment"].append(int(segs[s]))
@@ -253,7 +265,9 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
         merged = (pending
                   .repartition(cfg.n_term_partitions, "term", "field", "new_segment")
                   .sortWithinPartitions("term", "field", "new_segment", "segment")
-                  .mapInPandas(kernel, POSTINGS_SCHEMA)
+                  .mapInPandas(kernel,
+                               POSTINGS_SCHEMA_POS if positional
+                               else POSTINGS_SCHEMA)
                   .withColumn("shard", (F.col("segment") % n_shards).cast("int")))
         tmp_root = os.path.join(out_dir, "_tmp", "merge")
         shutil.rmtree(tmp_root, ignore_errors=True)

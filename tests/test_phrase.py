@@ -132,9 +132,21 @@ def test_positional_index_has_pos_for_every_row(spark, built):
     assert df.filter(F.col("pos_vb").isNull()).count() == 0
 
 
-def test_merge_refuses_positional(spark, built, tmp_path):
+def test_compaction_preserves_phrase_results(spark, built, tmp_path):
+    """LSM compaction re-encodes pos_vb along with the doc/tf blobs: phrase
+    results over the merged index are identical (rank, doc, score) and the
+    merged stats keep positions=True."""
+    from dlkp_spark.index.build import load_stats
     from dlkp_spark.index.merge import merge_segments
 
-    idx, _ = built
-    with pytest.raises(NotImplementedError, match="positional"):
-        merge_segments(spark, idx, str(tmp_path / "m"), factor=2, cfg=CFG)
+    idx, toks = built
+    out = str(tmp_path / "merged")
+    merge_segments(spark, idx, out, factor=2, cfg=CFG, n_shards=2)
+    assert load_stats(out)["positions"] is True
+    some = next(ts for ts in toks.values() if len(ts) >= 3)
+    phrases = [(0, list(some[0:2])), (1, list(some[1:4]))]
+    a = sorted(tuple(r) for r in
+               phrase_topk(spark, idx, phrases, BM25Params(), k=K).collect())
+    b = sorted(tuple(r) for r in
+               phrase_topk(spark, out, phrases, BM25Params(), k=K).collect())
+    assert a == b and len(a) > 0
