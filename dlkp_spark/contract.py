@@ -353,6 +353,57 @@ SQL_BM25_PHRASE = "\nUNION ALL\n".join(
     for qid, terms in PHRASE_QUERIES)
 
 
+PREFIX_QUERIES = [(0, "st"), (1, "qu"), (2, "zzz")]
+
+
+def _prefix_sql(prefix: str, k: int, qid: int) -> str:
+    """Prefix-query oracle: the query term set is every distinct corpus
+    token with the prefix; scoring is the plain per-term BM25 sum."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT DISTINCT term FROM toks WHERE term LIKE '{prefix}%'),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """Prefix (wildcard) top-k (round 5): each prefix expands against the
+    index's term dictionary (StartsWith predicate on posting metadata, no
+    blob decodes, Lucene-style max_expansion guard) and scores as a
+    multi-term OR through the batch kernel. Query 2 matches no term —
+    empty on both sides."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import prefix_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("prefixidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (prefix_topk(spark, d, PREFIX_QUERIES, BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_PREFIX = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_prefix_sql(pre, 5, qid)})"
+    for qid, pre in PREFIX_QUERIES)
+
+
 def q_kp_seed_hits(spark, sf_dir):
     t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
     return (t.filter(F.col("term").isin(KP_SEEDS))
@@ -2114,6 +2165,7 @@ QUERIES = {
     "bm25_conjunctive_index": (q_bm25_conjunctive_index, SQL_BM25_CONJUNCTIVE),
     "bm25_min_match": (q_bm25_min_match, SQL_BM25_MIN_MATCH),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
+    "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),

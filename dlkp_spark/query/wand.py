@@ -629,6 +629,55 @@ def batch_topk(
     return out
 
 
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    max_expansion: int = 1024,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Prefix (wildcard ``pre*``) top-k: expand each prefix to its matching
+    index terms, then score as a multi-term OR query through the regular
+    batch kernel — each matched term keeps its own idf, identical to
+    running the expanded term list by hand.
+
+    Expansion happens against the INDEX's term dictionary (one distinct
+    projection over posting-row metadata — no blob decodes; the
+    StartsWith predicate reaches the parquet scan). ``max_expansion``
+    guards runaway prefixes the way Lucene's maxClauseCount does: a
+    prefix matching more terms raises instead of shipping an unbounded
+    term list to every kernel.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    qmap = [(int(qid), str(pre)) for qid, pre in queries]
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    prefixes = sorted({pre for _, pre in qmap})
+    if not prefixes:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    cond = None
+    for pre in prefixes:
+        c = F.col("term").startswith(pre)
+        cond = c if cond is None else (cond | c)
+    vocab = [r["term"] for r in
+             postings.filter(cond).select("term").distinct().collect()]
+    expanded: dict[str, list[str]] = {
+        pre: sorted(t for t in vocab if t.startswith(pre)) for pre in prefixes}
+    for pre, terms in expanded.items():
+        if len(terms) > max_expansion:
+            raise ValueError(
+                f"prefix '{pre}*' expands to {len(terms)} terms "
+                f"(> max_expansion={max_expansion}) — narrow the prefix "
+                "or raise the cap")
+    term_queries = [(qid, expanded[pre]) for qid, pre in qmap]
+    return batch_topk(spark, index_dir, term_queries, p, k=k,
+                      postings=postings)
+
+
 def two_wave_pair_counts(
     spark: SparkSession,
     index_dir: str,

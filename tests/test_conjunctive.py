@@ -145,3 +145,24 @@ def test_oov_term_returns_nothing(spark, corpus):
     got = batch_topk(spark, idx, [(9, ["w0002", "zzznothere"])],
                      BM25Params(), k=K, conjunctive=True)
     assert got.count() == 0
+
+
+def test_prefix_equals_manual_expansion(spark, corpus):
+    """prefix_topk('w000*') == batch_topk over the hand-expanded term list;
+    an unmatched prefix yields nothing; the Lucene-style expansion cap
+    raises with the prefix named."""
+    from dlkp_spark.index.build import load_postings
+    from dlkp_spark.query.wand import prefix_topk
+
+    _, idx = corpus
+    vocab = sorted(r["term"] for r in load_postings(spark, idx)
+                   .select("term").distinct().collect()
+                   if r["term"].startswith("w000"))
+    assert len(vocab) > 1  # a real multi-term expansion
+    a = _rows(prefix_topk(spark, idx, [(0, "w000"), (1, "zzz")],
+                          BM25Params(), k=K))
+    b = _rows(batch_topk(spark, idx, [(0, vocab)], BM25Params(), k=K))
+    assert a == b and len(a) > 0  # qid 1 contributes nothing
+    with pytest.raises(ValueError, match="max_expansion"):
+        prefix_topk(spark, idx, [(0, "w")], BM25Params(), k=K,
+                    max_expansion=3)
