@@ -12,6 +12,8 @@ The per-row invariant (BASELINE.json input_hint): text extracted from
 
 from __future__ import annotations
 
+import html as html_std
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -20,20 +22,54 @@ from pyspark.sql import functions as F
 
 from dlkp_spark.config import TOKEN_RE
 
-_BODY_OPEN = b"<body>"
-_BODY_CLOSE = b"</body>"
+# Compiled once per worker process; every sub below runs at C speed per
+# page, so extraction stays Arrow-batch-friendly inside mapInPandas.
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_RE = re.compile(r"<script\b.*?</script\s*>", re.S | re.I)
+_STYLE_RE = re.compile(r"<style\b.*?</style\s*>", re.S | re.I)
+_HEAD_RE = re.compile(r"<head\b.*?</head\s*>", re.S | re.I)
+_MAIN_RE = re.compile(r"<(?:main|article)\b[^>]*>(.*?)</(?:main|article)\s*>",
+                      re.S | re.I)
+_BOILER_RE = re.compile(r"<(nav|header|footer|aside)\b.*?</\1\s*>",
+                        re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
 
 
 def extract_text_py(html: bytes) -> str:
-    """Exact text extraction from the deterministic html wrapper.
+    """General html → visible-main-text extraction (trafilatura/jusText
+    shape, from scratch): drop comments, raw-text ``<script>``/``<style>``
+    blocks (whose contents legally contain ``<``/``>``/fake tags) and the
+    whole ``<head>``; scope to ``<main>``/``<article>`` when the page has
+    one; drop ``nav``/``header``/``footer``/``aside`` boilerplate blocks;
+    strip remaining tags to whitespace; THEN decode character entities
+    (the html-correct order — ``&lt;b&gt;`` is text, not markup); collapse
+    whitespace. Pure function of the bytes.
 
-    Byte-identical inverse of ``corpus.wrap_html`` — validated per-url by
-    tests/test_corpus.py. A real-world extractor would slot in here; the
-    contract (bytes in, exact text out, pure function) is the same.
+    Per-row invariant (BASELINE.json input_hint): byte-identical to the
+    ``text`` column for every url of the generated corpus — enforced by
+    ``analyze(validate=True)`` and pinned by tests/test_corpus.py, which
+    also covers handwritten adversarial pages (uppercase tags, attributes,
+    entities in all forms, comment-wrapped markup, boilerplate nesting
+    other tags, pages with and without ``<main>``).
+
+    Documented limits (fine for the renderer and typical crawl html, and
+    the validate gate catches violations loudly): same-name nested
+    boilerplate elements, ``>`` inside attribute values, and CDATA
+    sections are not handled.
     """
-    start = html.index(_BODY_OPEN) + len(_BODY_OPEN)
-    end = html.rindex(_BODY_CLOSE)
-    return html[start:end].decode("utf-8")
+    s = html.decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub(" ", s)
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _STYLE_RE.sub(" ", s)
+    s = _HEAD_RE.sub(" ", s)
+    m = _MAIN_RE.search(s)
+    if m:
+        s = m.group(1)
+    s = _BOILER_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = html_std.unescape(s)
+    return _WS_RE.sub(" ", s).strip()
 
 
 def tokenize_py(text: str) -> list[str]:

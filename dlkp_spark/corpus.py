@@ -10,6 +10,10 @@ partitioning, parallelism level, or regeneration — the property the per-row
 Text is Zipf-sampled from a fixed vocabulary (realistic head-term skew so
 head-term salting in the index build actually triggers); ~5% of rows embed
 known multi-word keyphrases so the keyphrase field has guaranteed content.
+``wrap_html`` renders each row's text into a realistic page (boilerplate
+nav/footer/aside, script/style raw-text blocks, comments, inline markup,
+character entities, escaped text nodes) that the real extractor in
+``analysis/analyzer.py`` must invert exactly.
 """
 
 from __future__ import annotations
@@ -71,9 +75,103 @@ def _url(i: int, seed: int) -> str:
     return f"https://site{i % N_SITES}.example/{h}"
 
 
-def wrap_html(text: str) -> bytes:
-    """Exact, reversible html wrapper — extraction is byte-identity."""
-    return b"<html><head><title>doc</title></head><body>" + text.encode("utf-8") + b"</body></html>"
+# Boilerplate blocks a real Common-Crawl page carries and a real extractor
+# must EXCLUDE — their words ("Home", "Terms", …) would corrupt the
+# extracted text if any stage leaks them through.
+_PAGE_NAV = ('<header class="site-head">\n'
+             '  <nav id="top"><a href="/">Home</a> | <a href="/about">About'
+             '</a> | <a href="/archive">Archive</a></nav>\n</header>\n')
+_PAGE_FOOTER = ('<footer>\n  &copy; 2024 example corp &middot; '
+                '<a href="/terms">Terms of Service</a>\n</footer>\n')
+_PAGE_ASIDE = ('<aside class="ads">\n  <p>sponsored content ad unit</p>\n'
+               '</aside>\n')
+# raw-text elements: contents contain <, >, quotes and fake tags — a real
+# extractor must drop them wholesale, not tag-strip them.
+_PAGE_SCRIPT = ('<script type="text/javascript">\n'
+                '  var hits = 0; if (hits < 1 && "</div>" !== "x") '
+                '{ hits += 1; }\n</script>\n')
+_PAGE_STYLE = ('<style>\n  body { margin: 0; } '
+               '/* braces & angles: a<b, "quoted>" */\n</style>\n')
+_INLINE_TAGS = ("b", "em", "strong")
+
+
+def wrap_html(text: str, lang: str = "en", key: int = 0) -> bytes:
+    """Deterministic Common-Crawl-style page renderer.
+
+    Renders ``text`` into realistic html — head/title/meta, nav + footer
+    + aside boilerplate, script/style blocks with raw ``<``/``>`` content,
+    comments, attribute-carrying paragraph tags, inline markup around
+    whole tokens, numeric character entities, and (for 3 of 4 keys) a
+    ``<main>`` content wrapper — varying deterministically with ``key``.
+
+    Round-trip contract (the BASELINE.json input_hint invariant):
+    ``extract_text_py(wrap_html(t, lang, key)) == t`` for ANY
+    whitespace-normalized ``t`` (tokens joined by single spaces, no
+    leading/trailing whitespace) and any (lang, key); pinned per-url over
+    the whole generated corpus by ``analyze(validate=True)`` and
+    tests/test_corpus.py.
+    """
+    def esc(w: str) -> str:
+        # text-node escaping, the part of rendering that makes the
+        # round-trip hold for texts containing markup characters
+        return w.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    toks = [esc(w) for w in text.split(" ")] if text else []
+    h = hashlib.blake2b(f"page:{key}:{len(toks)}".encode(),
+                        digest_size=16).digest()
+    title = " ".join(toks[:6]) if toks else "untitled"
+    attr_title = title.replace('"', "&quot;")
+
+    paras: list[list[str]] = []
+    i = 0
+    while i < len(toks):
+        step = 30 + (h[len(paras) % 16] % 50)
+        paras.append(toks[i:i + step])
+        i += step
+
+    parts: list[str] = []
+    for j, words in enumerate(paras):
+        b = h[(j + 3) % 16]
+        words = list(words)
+        if words and b % 4 == 1:
+            # numeric character entity on the first char of one token
+            # (before inline markup so the wrap's own '<' is never escaped;
+            # alnum-start only, so it never splits an &amp;-style escape)
+            w = (b >> 3) % len(words)
+            if words[w][:1].isalnum():
+                c, rest = words[w][0], words[w][1:]
+                ent = f"&#x{ord(c):x};" if b % 2 else f"&#{ord(c)};"
+                words[w] = ent + rest
+        if words and b % 3 == 0:
+            # inline markup around one whole token (never intra-token)
+            w = (b >> 2) % len(words)
+            tag = _INLINE_TAGS[b % len(_INLINE_TAGS)]
+            words[w] = f'<{tag} class="kw">{words[w]}</{tag}>'
+        if b % 5 == 2:
+            parts.append(f"<!-- p{j}: {len(words)} tokens -->")
+        parts.append(f'<p id="p{j}" data-n="{len(words)}">\n  '
+                     + " ".join(words) + "\n</p>")
+        if b % 7 == 3:
+            parts.append('<img src="/static/fig.png" alt="figure" />')
+    content = "\n".join(parts)
+    if key % 4 != 0:
+        content = f'<main id="content">\n{content}\n</main>'
+
+    page = (
+        '<!DOCTYPE html>\n'
+        f'<html lang="{lang}">\n<head>\n'
+        '  <meta charset="utf-8">\n'
+        f'  <meta name="description" content="{attr_title}">\n'
+        f'  <title>{title}</title>\n'
+        f'{_PAGE_STYLE}{_PAGE_SCRIPT}'
+        '</head>\n<body>\n'
+        f'{_PAGE_NAV}'
+        f'{content}\n'
+        f'{_PAGE_ASIDE if h[0] % 2 else ""}'
+        f'{_PAGE_FOOTER}'
+        '</body>\n</html>\n'
+    )
+    return page.encode("utf-8")
 
 
 def generate_web_pages(spark: SparkSession, n_docs: int, seed: int = 42,
@@ -89,7 +187,7 @@ def generate_web_pages(spark: SparkSession, n_docs: int, seed: int = 42,
                 rows.append((
                     _url(i, seed),
                     pd.Timestamp(EPOCH) + pd.Timedelta(seconds=int(i)),
-                    wrap_html(text),
+                    wrap_html(text, lang=lang, key=i),
                     text,
                     lang,
                 ))
