@@ -130,7 +130,8 @@ FROM documents GROUP BY lang
 
 
 def _bm25_sql(terms: list[str], k: int, qid_select: str = "",
-              conjunctive: bool = False, min_match: int | None = None) -> str:
+              conjunctive: bool = False, min_match: int | None = None,
+              doc_where: str = "") -> str:
     term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     if conjunctive:
         having = f"HAVING count(DISTINCT tf.term) = {len(set(terms))}"
@@ -139,6 +140,10 @@ def _bm25_sql(terms: list[str], k: int, qid_select: str = "",
         having = f"HAVING count(DISTINCT tf.term) >= {min(min_match, len(set(terms)))}"
     else:
         having = ""
+    # attribute/metadata filters restrict CANDIDATES only — idf/avgdl stay
+    # full-corpus (Lucene filter semantics, matching the engine)
+    where = (f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {doc_where})"
+             if doc_where else "")
     return f"""
 WITH toks AS (
   SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
@@ -153,6 +158,7 @@ sc AS (
          sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
   FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  {where}
   GROUP BY tf.doc_id {having}
 )
 SELECT {qid_select} rank, doc_id FROM (
@@ -288,6 +294,60 @@ def q_bm25_min_match(spark, sf_dir):
 SQL_BM25_MIN_MATCH = "\nUNION ALL\n".join(
     f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', min_match=2)})"
     for qid, terms in MM_QUERIES)
+
+
+# attribute filters: IN within an attribute, AND across attributes; the
+# zz value matches nothing (empty result on both sides for no query)
+FILTER_WHERE = "lang IN ('en', 'de') AND source IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5', 'src6', 'src7')"
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """Metadata-filtered BM25 on the DataFrame path: candidates restricted
+    by a doc predicate (lang + source), statistics (idf/avgdl) stay
+    full-corpus — Lucene filter semantics. The filter applies as a
+    semi-join on per-doc scores BEFORE rank truncation, so a filtered-out
+    doc can never occupy a top-k slot."""
+    from dlkp_spark.query.bm25 import exact_topk
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"), "lang", "source")
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in BATCH_QUERIES for t in terms],
+        "query_id long, term string")
+    pred = (F.col("lang").isin("en", "de")
+            & F.col("source").isin(*[f"src{i}" for i in range(8)]))
+    return (exact_topk(docs, qdf, BM25Params(), k=5, doc_filter=pred)
+            .select("query_id", "rank", "doc_id"))
+
+
+def q_bm25_filtered_index(spark, sf_dir):
+    """The same filtered top-k on the compressed-index batch path: the
+    index is built with attribute postings (build_index(attrs=...), a
+    per-(attr, value, doc-range segment) delta+varbyte doc-list sidecar
+    kept OUTSIDE the BM25 statistics), and the segment kernel intersects
+    decoded posting lists with the allowed doc set BEFORE scoring —
+    surviving docs score bit-identically to the unfiltered path. Gated by
+    the identical SQL oracle as the DataFrame twin."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"), "lang", "source")
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("fltidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("lang", "source"))
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
+                       filters={"lang": ["en", "de"],
+                                "source": [f"src{i}" for i in range(8)]})
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_FILTERED = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', doc_where=FILTER_WHERE)})"
+    for qid, terms in BATCH_QUERIES)
 
 
 PHRASE_QUERIES = [(0, ["table", "hash"]), (1, ["stream", "table", "hash"]),
@@ -2164,6 +2224,8 @@ QUERIES = {
     "bm25_conjunctive": (q_bm25_conjunctive, SQL_BM25_CONJUNCTIVE),
     "bm25_conjunctive_index": (q_bm25_conjunctive_index, SQL_BM25_CONJUNCTIVE),
     "bm25_min_match": (q_bm25_min_match, SQL_BM25_MIN_MATCH),
+    "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
+    "bm25_filtered_index": (q_bm25_filtered_index, SQL_BM25_FILTERED),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

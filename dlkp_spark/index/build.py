@@ -41,7 +41,8 @@ from dlkp_spark.analysis.analyzer import analyze, with_doc_ids
 from dlkp_spark.analysis.keyphrase import with_keyphrases
 from dlkp_spark.config import FIELD_BODY, FIELD_KP, IndexConfig
 from dlkp_spark.index import manifest as mf
-from dlkp_spark.index.codec import encode_positions, encode_postings
+from dlkp_spark.index.codec import (delta_encode, encode_positions,
+                                    encode_postings, varbyte_encode)
 
 POSTINGS_SCHEMA = (
     "term string, field int, segment long, df long, n_postings long, "
@@ -51,6 +52,13 @@ POSTINGS_SCHEMA = (
 # positional layout (IndexConfig.positions=True): one extra varbyte blob of
 # per-doc token positions, aligned with the doc/tf columns
 POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", pos_vb binary"
+
+# attribute (facet) postings sidecar: per (attribute, value, doc-range
+# segment), the sorted delta+varbyte doc-id list. Deliberately OUTSIDE the
+# BM25 statistics (doclen/avgdl/df are text-only) — attributes filter
+# candidates, they never score, mirroring Lucene's doc-values/filter-field
+# split.
+ATTRS_SCHEMA = "attr string, value string, segment long, n_docs long, docs_vb binary"
 
 
 def prepare_docs(web_pages: DataFrame, validate: bool = True,
@@ -308,6 +316,88 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
     return run
 
 
+def _encode_attr_partition():
+    """mapInPandas kernel: encode sorted (attr, value, segment) doc-id lists.
+
+    Same carry-buffer + vectorized change-point shape as
+    ``_encode_partition`` — a group may span Arrow batches; boundaries come
+    from numpy change-point detection, never a pandas groupby over tiny
+    groups.
+    """
+    import numpy as np
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        attrs = pdf["attr"].to_numpy()
+        values = pdf["value"].to_numpy()
+        segments = pdf["segment"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        n = len(pdf)
+        change = np.flatnonzero(
+            (attrs[1:] != attrs[:-1]) | (values[1:] != values[:-1])
+            | (segments[1:] != segments[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [n]))
+        out: dict[str, list] = {k: [] for k in
+                                ("attr", "value", "segment", "n_docs", "docs_vb")}
+        for s, e in zip(starts, ends):
+            ids = np.asarray(doc_ids[s:e], dtype=np.int64)
+            out["attr"].append(attrs[s])
+            out["value"].append(values[s])
+            out["segment"].append(int(segments[s]))
+            out["n_docs"].append(int(e - s))
+            out["docs_vb"].append(varbyte_encode(delta_encode(ids)))
+        return pd.DataFrame(out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = ["attr", "value", "segment"]
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            last_key = tuple(pdf[key].iloc[-1])
+            is_last_group = (pdf[key] == last_key).all(axis=1)
+            carry = pdf[is_last_group].copy()
+            body = pdf[~is_last_group]
+            if not body.empty:
+                yield encode_block(body)
+        if carry is not None and not carry.empty:
+            yield encode_block(carry)
+
+    return run
+
+
+def build_attr_postings(spark: SparkSession, docs: DataFrame, index_dir: str,
+                        cfg: IndexConfig, attrs: tuple[str, ...]) -> None:
+    """Encode + atomically commit the attribute-postings sidecar.
+
+    One narrow scan of (doc_id, attrs) → per-(attr, value, segment) sorted
+    doc lists, delta+varbyte. Cardinality note for 10^12 docs: rows =
+    Σ_attr |values touched per segment| ≤ n_segments × Σ|domain(attr)| —
+    tiny next to the text postings, and the query side prunes on
+    (attr, value) at the parquet scan.
+    """
+    rows = None
+    for a in attrs:
+        r = docs.select(
+            F.lit(a).alias("attr"),
+            F.col(a).cast("string").alias("value"),
+            (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long").alias("segment"),
+            "doc_id")
+        rows = r if rows is None else rows.unionByName(r)
+    enc = (rows.repartition(cfg.n_term_partitions, "attr", "value", "segment")
+           .sortWithinPartitions("attr", "value", "segment", "doc_id")
+           .mapInPandas(_encode_attr_partition(), ATTRS_SCHEMA))
+    tmp = os.path.join(index_dir, "_tmp", "attrs")
+    shutil.rmtree(tmp, ignore_errors=True)
+    enc.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(index_dir, "attrs")
+    shutil.rmtree(final, ignore_errors=True)
+    mf.commit_dataset(tmp, final)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -316,6 +406,7 @@ def build_index(
     n_shards: int = 4,
     resume: bool = True,
     n_docs: int | None = None,
+    attrs: tuple[str, ...] = (),
 ) -> dict:
     """Full SPIMI build → ``index_dir``/{segments/shard=K, stats.json, _manifests}.
 
@@ -347,6 +438,11 @@ def build_index(
     # parallel CPU, while the token-table cache saves the encode job a
     # full re-derivation. (A: docs+tokens persist ~50 s avg; B: nothing
     # ~43 s; C: tokens-only ~35 s.)
+    # attr sidecar reads its own narrow (doc_id, attrs) projection of the
+    # SOURCE plan — one extra evaluation, same trade as the n_docs count
+    # (callers with an expensive tagger plan should pass attrs off a
+    # cheap upstream frame or accept the pass; it never ships token arrays)
+    attr_source = docs.select("doc_id", *attrs) if attrs else None
     docs = docs.select("doc_id", "tokens", "keyphrases")
     tok_fn = token_table_positions if cfg.positions else token_table
     tokens = tok_fn(docs).withColumn(
@@ -364,7 +460,7 @@ def build_index(
         "config_hash": ch,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
-        "positions": cfg.positions,
+        "positions": cfg.positions, "attrs": sorted(attrs),
     })
     tokens_df = tokens.join(dfs, ["field", "term"])
 
@@ -421,6 +517,11 @@ def build_index(
             }
             mf.write_shard_manifest(index_dir, shard, payloads[shard])
     metrics["shards"] = [payloads[s] for s in range(n_shards)]
+    if attrs and (not resume or not os.path.isdir(os.path.join(index_dir, "attrs"))):
+        # after the shard commits so a resume that finds a committed attrs
+        # dir skips this pass; a kill before this point leaves no attrs dir
+        # and the rerun builds it
+        build_attr_postings(spark, attr_source, index_dir, cfg, attrs)
     tokens.unpersist()
     grouped.unpersist()
     shutil.rmtree(os.path.join(index_dir, "_tmp"), ignore_errors=True)
@@ -429,6 +530,11 @@ def build_index(
 
 def load_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "segments"))
+
+
+def load_attrs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The attribute-postings sidecar (ATTRS_SCHEMA rows)."""
+    return spark.read.parquet(os.path.join(index_dir, "attrs"))
 
 
 def load_stats(index_dir: str) -> dict:

@@ -31,6 +31,7 @@ def exact_topk(
     stats: dict | None = None,
     conjunctive: bool = False,
     min_match: int | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """docs(doc_id, tokens, keyphrases) × queries(query_id, term)
     → (query_id, rank, doc_id, score), rank 1..k per query.
@@ -42,6 +43,12 @@ def exact_topk(
     conjunctive; conjunctive=True is sugar for the latter). The filter is
     one extra ``countDistinct`` in the existing per-doc aggregation plus a
     broadcast join against per-query term counts — no additional shuffle.
+
+    ``doc_filter`` (a boolean Column over docs' columns) restricts
+    CANDIDATES, not statistics: idf/avgdl stay full-corpus (Lucene filter
+    semantics, and identical to the index path's attribute filters), so it
+    applies as a semi-join on the per-doc scores BEFORE rank truncation —
+    a filtered-out doc can never occupy a top-k slot.
     """
     p = p or BM25Params()
     k = k or p.k
@@ -93,6 +100,9 @@ def exact_topk(
     else:
         per_doc = scored.groupBy("query_id", "doc_id").agg(score_agg)
     per_doc = per_doc.select("query_id", "doc_id", "score")
+    if doc_filter is not None:
+        per_doc = per_doc.join(
+            docs.filter(doc_filter).select("doc_id"), "doc_id", "left_semi")
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (per_doc.withColumn("rank", F.row_number().over(w))

@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dlkp_spark.config import FIELD_KP, BM25Params
-from dlkp_spark.index.build import load_postings, load_stats
-from dlkp_spark.index.codec import decode_postings_batch
+from dlkp_spark.index.build import load_attrs, load_postings, load_stats
+from dlkp_spark.index.codec import (decode_postings_batch, delta_decode,
+                                    varbyte_decode)
 from dlkp_spark.oracle import idf as idf_fn
 
 
@@ -398,10 +399,65 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
     return [(base + int(cand[i]), float(sc[i])) for i in order]
 
 
+def _allowed_docs(flt_rows, filter_attrs: list[str]) -> np.ndarray:
+    """Decode a segment's attribute blobs → allowed doc-id set.
+
+    Semantics match SQL ``WHERE a IN (v1, v2) AND b IN (...)``: union of
+    doc lists across a filter's values, intersection across attributes; an
+    attribute with no row in this segment allows nothing.
+    """
+    per_attr: dict[str, np.ndarray] = {}
+    for r in flt_rows:
+        ids = delta_decode(varbyte_decode(r["docs_vb"]).astype(np.int64))
+        a = r["attr"]
+        per_attr[a] = np.union1d(per_attr[a], ids) if a in per_attr else ids
+    allowed: np.ndarray | None = None
+    for a in filter_attrs:
+        ids = per_attr.get(a)
+        if ids is None:
+            return np.empty(0, dtype=np.int64)
+        allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+    return allowed if allowed is not None else np.empty(0, dtype=np.int64)
+
+
+def _apply_doc_filter(lists: list[dict], allowed: np.ndarray,
+                      block_size: int) -> list[dict]:
+    """Restrict decoded posting lists to ``allowed`` doc ids.
+
+    Filtering happens BEFORE any kernel — per-doc BM25 contributions are
+    independent, so dropping postings of disallowed docs leaves every
+    surviving doc's score bit-identical. Block-max metadata is rebuilt from
+    the surviving contributions (the original block boundaries no longer
+    align), keeping BMW pruning exact for the per-query fallback path.
+    """
+    out = []
+    for lst in lists:
+        mask = np.isin(lst["docs"], allowed)
+        if mask.all():
+            out.append(lst)
+            continue
+        docs = lst["docs"][mask]
+        if not len(docs):
+            continue
+        contribs = lst["contribs"][mask]
+        nb = (len(docs) + block_size - 1) // block_size
+        pad = nb * block_size - len(docs)
+        bmax = np.pad(contribs, (0, pad)).reshape(nb, block_size).max(axis=1)
+        blast = docs[np.minimum(
+            np.arange(1, nb + 1) * block_size - 1, len(docs) - 1)]
+        new = dict(lst)
+        new["docs"], new["contribs"] = docs, contribs
+        new["block_max"] = bmax
+        new["block_last"] = blast.astype(np.int64)
+        out.append(new)
+    return out
+
+
 def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        dense_max_width: int = _DENSE_MAX_WIDTH,
                        conjunctive: bool = False,
-                       min_match: int | None = None):
+                       min_match: int | None = None,
+                       filter_attrs: list[str] | None = None):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -425,7 +481,13 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
             g = g.drop(columns=["qids"])
         else:
             live = qmap
+        allowed = None
+        if filter_attrs:
+            allowed = _allowed_docs(g["flt"].iloc[0], filter_attrs)
+            g = g.drop(columns=["flt"])
         lists = [lst for lst in _decode_group(g, stats, p) if len(lst["docs"])]
+        if allowed is not None:
+            lists = _apply_doc_filter(lists, allowed, block_size)
         qids, dids, scores = [], [], []
         if lists and live:
             # dense-accumulator setup: segment doc ids live in a bounded
@@ -518,8 +580,22 @@ def batch_topk(
     auto_cutoff: int = 4096,
     conjunctive: bool = False,
     min_match: int | None = None,
+    filters: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``filters={"lang": ["en", "de"], ...}`` restricts candidates to docs
+    whose attribute values match (IN within an attribute, AND across
+    attributes) — the Lucene filter-field pattern. Requires the index to
+    have been built with ``build_index(..., attrs=(...))``; matching is
+    done against the attribute-postings sidecar inside the segment kernel
+    (posting lists are intersected with the allowed doc set BEFORE
+    scoring), so surviving docs score bit-identically to the unfiltered
+    path and stats stay full-corpus (a filter narrows candidates, it does
+    not re-weight idf/avgdl — same as Lucene). Composes with
+    conjunctive/min_match and with two-wave pruning (filtering only lowers
+    scores, so the metadata upper bounds stay admissible, and θ comes from
+    filtered wave-1 scores).
 
     ``conjunctive=True`` gives AND semantics: only docs containing every
     query term are ranked (same BM25 scores); ``min_match=m`` is the
@@ -575,10 +651,32 @@ def batch_topk(
         postings = load_postings(spark, index_dir)
     hits = postings.join(F.broadcast(t_df), "term")
 
+    filter_attrs = sorted(filters) if filters else None
+    if filters:
+        built_with = set(stats_all.get("attrs", []))
+        missing = set(filter_attrs) - built_with
+        if missing:
+            raise ValueError(
+                f"index at {index_dir} has no attribute postings for "
+                f"{sorted(missing)}; built with attrs={sorted(built_with)} — "
+                f"rebuild with build_index(..., attrs=(...))")
+        cond = None
+        for a, vals in filters.items():
+            c = (F.col("attr") == a) & F.col("value").isin([str(v) for v in vals])
+            cond = c if cond is None else (cond | c)
+        # (attr, value) predicate pushes to the sidecar's parquet scan;
+        # one tiny row per (attr, segment) joins the posting groups, so a
+        # segment with NO allowed docs drops before its kernel ever runs
+        flt = (load_attrs(spark, index_dir).filter(cond)
+               .groupBy("segment")
+               .agg(F.collect_list(F.struct("attr", "docs_vb")).alias("flt")))
+        hits = hits.join(flt, "segment")
+
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     if not two_wave:
         kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
-                                    conjunctive=conjunctive, min_match=min_match)
+                                    conjunctive=conjunctive, min_match=min_match,
+                                    filter_attrs=filter_attrs)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -586,7 +684,8 @@ def batch_topk(
                 .select("query_id", "rank", "doc_id", "score"))
 
     kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
-                                conjunctive=conjunctive, min_match=min_match)
+                                conjunctive=conjunctive, min_match=min_match,
+                                filter_attrs=filter_attrs)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
