@@ -413,6 +413,75 @@ SQL_BM25_PHRASE = "\nUNION ALL\n".join(
     for qid, terms in PHRASE_QUERIES)
 
 
+SLOPPY_SLOP = 2
+
+
+def _sloppy_sql(terms: list[str], k: int, qid: int, slop: int) -> str:
+    """Ordered sloppy-phrase oracle: tokens carry positions
+    (generate_subscripts over the split array), a match is an EXISTS chain
+    of strictly-increasing positions whose span fits len(terms)−1+slop;
+    matched docs rank by the BM25 sum of the phrase's distinct terms."""
+    uniq = sorted(set(terms))
+    term_list = ", ".join(f"'{t}'" for t in uniq)
+    m = len(terms)
+    joins = "ptoks p0" + "".join(
+        f" JOIN ptoks p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, m))
+    conds = [f"p{i}.term = '{terms[i]}'" for i in range(m)]
+    conds += [f"p{i}.pos > p{i - 1}.pos" for i in range(1, m)]
+    conds.append(f"p{m - 1}.pos - p0.pos <= {m - 1 + slop}")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM ptoks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+m AS (SELECT DISTINCT p0.doc_id FROM {joins} WHERE {" AND ".join(conds)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN m USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_sloppy_phrase(spark, sf_dir):
+    """Ordered sloppy-phrase top-k (round 5): terms in order within
+    len(phrase)−1+slop token slots — the Lucene ordered-SpanNear shape —
+    decided segment-locally by a greedy minimal-window chain over the
+    decoded position lists. The oracle replays the window as an EXISTS
+    join chain over positional tokens. Query 2 carries an out-of-vocab
+    term (empty on both sides)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.phrase import phrase_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("sloppyidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32,
+                                n_term_partitions=8, positions=True),
+                n_shards=1, resume=False)
+    return (phrase_topk(spark, d, PHRASE_QUERIES, BM25Params(), k=5,
+                        slop=SLOPPY_SLOP)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_SLOPPY = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_sloppy_sql(terms, 5, qid, SLOPPY_SLOP)})"
+    for qid, terms in PHRASE_QUERIES)
+
+
 PREFIX_QUERIES = [(0, "st"), (1, "qu"), (2, "zzz")]
 
 
@@ -2227,6 +2296,7 @@ QUERIES = {
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filtered_index": (q_bm25_filtered_index, SQL_BM25_FILTERED),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
+    "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),

@@ -64,8 +64,39 @@ def _doc_positions(entry: dict, doc_idx: int) -> np.ndarray:
     return entry["pos"][s:e]
 
 
-def _phrase_matches(by_term: dict, phrase: list[str]) -> list[tuple[int, float]]:
-    """(doc_id, score) for every doc of one segment containing the phrase."""
+_FAR = np.int64(1) << np.int64(60)  # "no next position" sentinel
+
+
+def _ordered_window_hit(pos_lists: list[np.ndarray], max_span: int) -> bool:
+    """∃ strictly-increasing p_0 < … < p_{m-1}, p_i ∈ pos_lists[i], with
+    p_{m-1} − p_0 ≤ max_span?
+
+    Greedy chaining: for every start p_0, picking the SMALLEST valid next
+    position at each slot minimizes the chain's final position, hence its
+    span — so a witness exists iff some greedy chain's span fits. One
+    vectorized searchsorted per slot (no per-position Python loop).
+    """
+    starts = pos_lists[0].astype(np.int64)
+    last = starts
+    for pl in pos_lists[1:]:
+        idx = np.searchsorted(pl, last, side="right")
+        valid = idx < len(pl)
+        nxt = pl[np.minimum(idx, len(pl) - 1)] if len(pl) else None
+        last = np.where(valid, nxt, _FAR) if len(pl) else np.full_like(last, _FAR)
+    return bool(np.any(last - starts <= max_span))
+
+
+def _phrase_matches(by_term: dict, phrase: list[str],
+                    slop: int = 0) -> list[tuple[int, float]]:
+    """(doc_id, score) for every doc of one segment matching the phrase.
+
+    slop=0 is exact adjacency (offset-aligned position intersection);
+    slop>0 is the ordered sloppy phrase (Lucene ordered-SpanNear shape):
+    the terms appear in order within a window of ``len(phrase)−1+slop``
+    token slots. slop=0 through the window path is identical to the exact
+    path (m strictly increasing positions in m slots are consecutive) —
+    pinned by test.
+    """
     uniq_terms = sorted(set(phrase))
     entries = [by_term.get(t) for t in uniq_terms]
     if any(e is None for e in entries):
@@ -78,8 +109,23 @@ def _phrase_matches(by_term: dict, phrase: list[str]) -> list[tuple[int, float]]
         if not len(cand):
             return []
     lookup = {t: by_term[t] for t in uniq_terms}
+    max_span = len(phrase) - 1 + slop
     out = []
     for d in cand:
+        if slop > 0:
+            pos_lists = []
+            for t in phrase:
+                e = lookup[t]
+                pos_lists.append(
+                    _doc_positions(e, int(np.searchsorted(e["docs"], d))))
+            if not _ordered_window_hit(pos_lists, max_span):
+                continue
+            score = 0.0
+            for t in uniq_terms:
+                e = lookup[t]
+                score += float(e["contribs"][int(np.searchsorted(e["docs"], d))])
+            out.append((int(d), score))
+            continue
         run = None
         for i, t in enumerate(phrase):
             e = lookup[t]
@@ -106,8 +152,16 @@ def phrase_topk(
     p: BM25Params | None = None,
     k: int | None = None,
     postings: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase search → (query_id, rank, doc_id, score), rank 1..k.
+    """Phrase search → (query_id, rank, doc_id, score), rank 1..k.
+
+    ``slop=0`` (default) is exact adjacency. ``slop=s`` relaxes to the
+    ordered sloppy phrase: terms in order within ``len(phrase)−1+s`` token
+    slots (Lucene ordered-SpanNear shape) — the greedy minimal-window
+    check runs per candidate doc, still segment-local. Scoring is
+    unchanged (BM25 sum of the phrase's distinct terms), so a slop hit
+    ranks exactly as its terms would.
 
     Requires an index built with ``IndexConfig(positions=True)``; raises
     otherwise (the posting rows have no pos_vb column to decode).
@@ -135,7 +189,7 @@ def phrase_topk(
         by_term = _decode_positional_group(g, stats, p)
         qids, dids, scores = [], [], []
         for qid, phrase in qmap:
-            top = sorted(_phrase_matches(by_term, phrase),
+            top = sorted(_phrase_matches(by_term, phrase, slop),
                          key=lambda ds: (-ds[1], ds[0]))[:k]
             for d, s in top:
                 qids.append(qid)

@@ -150,3 +150,100 @@ def test_compaction_preserves_phrase_results(spark, built, tmp_path):
     b = sorted(tuple(r) for r in
                phrase_topk(spark, out, phrases, BM25Params(), k=K).collect())
     assert a == b and len(a) > 0
+
+
+def _brute_sloppy(toks: dict, phrase: list[str], slop: int, k: int):
+    """Reference sloppy matcher: exhaustive ordered-window search per doc,
+    scored like _brute_phrase."""
+    max_span = len(phrase) - 1 + slop
+
+    def hit(ts):
+        pos = {t: [i for i, x in enumerate(ts) if x == t] for t in set(phrase)}
+        if any(not pos[t] for t in phrase):
+            return False
+
+        # exhaustive over starts with span bound
+        def rec(slot, start, prev):
+            if slot == len(phrase):
+                return prev - start <= max_span
+            for p in pos[phrase[slot]]:
+                if slot == 0:
+                    if rec(1, p, p):
+                        return True
+                elif p > prev and p - start <= max_span:
+                    if rec(slot + 1, start, p):
+                        return True
+            return False
+
+        return rec(0, -1, -1)
+
+    matched = [d for d, ts in toks.items() if hit(ts)]
+    if not matched:
+        return []
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in set(phrase)}
+    out = []
+    for d in matched:
+        score = 0.0
+        for t in sorted(set(phrase)):
+            tf = float(toks[d].count(t))
+            dl = float(len(toks[d]))
+            score += idf_fn(n_docs, dfs[t]) * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        out.append((d, score))
+    out.sort(key=lambda ds: (-ds[1], ds[0]))
+    return out[:k]
+
+
+def test_sloppy_phrase_matches_brute_force(spark, built):
+    idx, toks = built
+    some = next(ts for ts in toks.values() if len(ts) >= 5)
+    phrases = [(0, [some[0], some[3]]),          # within slop-2 window
+               (1, list(some[1:4])),             # exact run, trivially sloppy
+               (2, ["w0002", "zzznothere"])]     # OOV → empty
+    for slop in (1, 2, 4):
+        got = phrase_topk(spark, idx, phrases, BM25Params(), k=K,
+                          slop=slop).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"]))
+        for qid, phrase in phrases:
+            want = _brute_sloppy(toks, phrase, slop, K)
+            have = sorted(by_q.get(qid, []))
+            assert [d for _, d, _ in have] == [d for d, _ in want], \
+                (slop, qid, phrase)
+            for (_, _, s), (_, ws) in zip(have, want):
+                assert s == pytest.approx(ws, rel=1e-12)
+
+
+def test_slop_zero_window_path_equals_exact_kernel():
+    """m strictly-increasing positions in m slots are consecutive, so the
+    greedy window check at slop=0 must agree with offset intersection."""
+    from dlkp_spark.query.phrase import _ordered_window_hit
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        m = int(rng.integers(2, 5))
+        lists = [np.sort(rng.choice(30, size=int(rng.integers(1, 8)),
+                                    replace=False)).astype(np.int64)
+                 for _ in range(m)]
+        # exact adjacency reference: intersect offset-aligned sets
+        run = set(lists[0])
+        for i, pl in enumerate(lists[1:], start=1):
+            run &= {p - i for p in pl}
+        assert _ordered_window_hit(lists, m - 1) == bool(run)
+
+
+def test_slop_monotone_supersets(spark, built):
+    idx, toks = built
+    some = next(ts for ts in toks.values() if len(ts) >= 4)
+    phrase = [(0, [some[0], some[2]])]
+    prev: set = set()
+    for slop in (0, 1, 2, 5, 10):
+        rows = phrase_topk(spark, idx, phrase, BM25Params(), k=10_000,
+                           slop=slop).collect()
+        docs = {r["doc_id"] for r in rows}
+        assert prev <= docs, f"slop={slop} lost matches"
+        prev = docs
