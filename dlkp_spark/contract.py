@@ -350,6 +350,31 @@ SQL_BM25_FILTERED = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+def q_bm25_deleted(spark, sf_dir):
+    """Tombstone-masked BM25 (round 5): every doc_id divisible by 3 is
+    deleted; the kernel masks them out of the decoded posting lists before
+    scoring while statistics stay at the snapshot (Lucene stale-stats
+    delete semantics) — exactly the candidate-restriction the filtered
+    oracle expresses, so the same SQL shape gates it."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("delidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    deletes = docs.select("doc_id").filter(F.col("doc_id") % 3 == 0)
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
+                       deletes=deletes)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_DELETED = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', doc_where='doc_id % 3 != 0')})"
+    for qid, terms in BATCH_QUERIES)
+
+
 PHRASE_QUERIES = [(0, ["table", "hash"]), (1, ["stream", "table", "hash"]),
                   (2, ["hash", "zzznothere"])]
 
@@ -2295,6 +2320,7 @@ QUERIES = {
     "bm25_min_match": (q_bm25_min_match, SQL_BM25_MIN_MATCH),
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filtered_index": (q_bm25_filtered_index, SQL_BM25_FILTERED),
+    "bm25_deleted": (q_bm25_deleted, SQL_BM25_DELETED),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),

@@ -28,14 +28,100 @@ from dlkp_spark.index import manifest as mf
 from dlkp_spark.index.build import (POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS,
                                     load_postings, load_stats)
 from dlkp_spark.index.codec import (decode_positions, decode_postings_batch,
-                                    encode_positions, encode_postings)
+                                    delta_decode, encode_positions,
+                                    encode_postings, varbyte_decode)
 from dlkp_spark.oracle import idf as idf_fn
+
+
+def _delete_adjustments(spark, postings, stats: dict) -> tuple[dict, "object", int]:
+    """One metadata pass over tombstone-joined postings → exact new stats
+    + per-(term, field) surviving doc frequencies.
+
+    Emits a union-schema row stream from one kernel (kind 0 = surviving
+    posting count per row; kind 1 = a deleted-and-present (doc_id, field,
+    dl) observation). Rows without tombstones skip the decode entirely —
+    cost scales with the segments deletes actually touch, not the index.
+    Aggregation gives:
+
+    - df′(term, field) = Σ surviving counts (segments partition doc ids,
+      so each doc counts once per (term, field));
+    - n_docs′ = n_docs − |distinct deleted docs PRESENT in the index|
+      (tombstones for unknown ids are no-ops);
+    - dl_sums′[f] = dl_sums[f] − Σ dl over deleted docs having field f
+      (each (doc_id, field) observation carries the same dl in every
+      posting row — deduped exactly by DISTINCT).
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, terms, fields, a_col, b_col = [], [], [], [], []
+            for i in range(len(pdf)):
+                dele = pdf["del_ids"].iloc[i]
+                if dele is None or not len(dele):
+                    kinds.append(0)
+                    terms.append(pdf["term"].iloc[i])
+                    fields.append(int(pdf["field"].iloc[i]))
+                    a_col.append(int(pdf["n_postings"].iloc[i]))
+                    b_col.append(0)
+                    continue
+                docs = delta_decode(
+                    varbyte_decode(pdf["docs_vb"].iloc[i]).astype(np.int64))
+                dls = varbyte_decode(pdf["dls_vb"].iloc[i]).astype(np.int64)
+                m = np.isin(docs, np.asarray(dele, dtype=np.int64))
+                kinds.append(0)
+                terms.append(pdf["term"].iloc[i])
+                fields.append(int(pdf["field"].iloc[i]))
+                a_col.append(int((~m).sum()))
+                b_col.append(0)
+                for d, dl in zip(docs[m], dls[m]):
+                    kinds.append(1)
+                    terms.append("")
+                    fields.append(int(pdf["field"].iloc[i]))
+                    a_col.append(int(d))
+                    b_col.append(int(dl))
+            yield pd.DataFrame({"kind": kinds, "term": terms, "field": fields,
+                                "a": a_col, "b": b_col})
+
+    rows = (postings.select("term", "field", "n_postings", "docs_vb",
+                            "dls_vb", "del_ids")
+            .mapInPandas(kernel, "kind int, term string, field int, a long, b long")
+            .persist())
+    try:
+        gdf = (rows.filter(F.col("kind") == 0)
+               .groupBy("term", "field").agg(F.sum("a").alias("new_df")))
+        del_docs = (rows.filter(F.col("kind") == 1)
+                    .select("field", F.col("a").alias("doc_id"),
+                            F.col("b").alias("dl")).distinct())
+        agg = del_docs.groupBy("field").agg(
+            F.sum("dl").alias("dl_removed"),
+            F.countDistinct("doc_id").alias("n")).collect()
+        n_deleted = (del_docs.select("doc_id").distinct().count())
+        removed = {int(r["field"]): int(r["dl_removed"]) for r in agg}
+        new_stats = dict(stats)
+        new_stats["n_docs"] = stats["n_docs"] - n_deleted
+        assert new_stats["n_docs"] > 0, "deletes would empty the index"
+        new_stats["dl_sums"] = {
+            f: stats["dl_sums"][f] - removed.get(f, 0) for f in (0, 1)}
+        new_stats["avgdl"] = {
+            f: new_stats["dl_sums"][f] / new_stats["n_docs"] for f in (0, 1)}
+        # materialize gdf before rows is unpersisted (it feeds the join)
+        gdf = gdf.localCheckpoint(eager=True)
+    finally:
+        rows.unpersist()
+    return new_stats, gdf, n_deleted
 
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    factor: int = 2, cfg: IndexConfig | None = None,
-                   n_shards: int = 4, resume: bool = True) -> dict:
+                   n_shards: int = 4, resume: bool = True,
+                   deletes=None) -> dict:
     """Compact: segment' = segment // factor. Returns merge metrics.
+
+    ``deletes`` (DataFrame with a ``doc_id`` column) PURGES tombstoned
+    docs during the re-encode: their postings are dropped, and the output's
+    statistics are recomputed exactly (n_docs, per-field dl_sums/avgdl,
+    per-(term, field) df — hence idf and block-max metadata), so queries
+    over the compacted index are bit-identical to a from-scratch build of
+    the surviving corpus with the same doc ids (tests/test_deletes.py).
 
     Since round 5 the merged output commits SHARD-GRAINED, exactly like the
     build (shard = merged segment % n_shards, all shards encoded in one
@@ -67,10 +153,23 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             cfg = dataclasses.replace(cfg, block_size=int(stats["block_size"]))
     postings = (load_postings(spark, index_dir)
                 .withColumn("new_segment", (F.col("segment") / factor).cast("long")))
+    lineage = {"merged_from": index_dir, "factor": factor}
+    purge = deletes is not None
+    if purge:
+        seg_docs = int(stats.get("segment_docs") or cfg.segment_docs)
+        seg_del = (deletes.select("doc_id").distinct()
+                   .groupBy((F.col("doc_id") / F.lit(seg_docs))
+                            .cast("long").alias("segment"))
+                   .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids")))
+        postings = postings.join(seg_del, "segment", "left")
+        stats, gdf, n_deleted = _delete_adjustments(spark, postings, stats)
+        postings = (postings.drop("df").join(gdf, ["term", "field"])
+                    .withColumnRenamed("new_df", "df"))
+        lineage["deletes_purged"] = n_deleted
     return _merge_write(spark, postings, stats, out_dir, cfg,
-                        lineage={"merged_from": index_dir, "factor": factor},
+                        lineage=lineage,
                         segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor,
-                        n_shards=n_shards, resume=resume)
+                        n_shards=n_shards, resume=resume, purge=purge)
 
 
 def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
@@ -143,7 +242,8 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
 
 def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
                  cfg: IndexConfig, lineage: dict, segment_docs: int,
-                 n_shards: int = 4, resume: bool = True) -> dict:
+                 n_shards: int = 4, resume: bool = True,
+                 purge: bool = False) -> dict:
     avgdl = stats["avgdl"]
     n_docs = stats["n_docs"]
 
@@ -179,11 +279,29 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
         if positional:
             cols.append("pos_vb")
         out = {k: [] for k in cols}
+        del_col = pdf["del_ids"] if purge else None
         for s, e in zip(starts, ends):
-            parts = [(d_f[offs[i]:offs[i + 1]], t_f[offs[i]:offs[i + 1]],
-                      l_f[offs[i]:offs[i + 1]],
-                      decode_positions(pos_bufs[i], t_f[offs[i]:offs[i + 1]])
-                      if positional else None) for i in range(s, e)]
+            parts = []
+            for i in range(s, e):
+                d = d_f[offs[i]:offs[i + 1]]
+                t = t_f[offs[i]:offs[i + 1]]
+                dl = l_f[offs[i]:offs[i + 1]]
+                pos = (decode_positions(pos_bufs[i], t)
+                       if positional else None)
+                if purge:
+                    dele = del_col.iloc[i]
+                    if dele is not None and len(dele):
+                        keep = ~np.isin(
+                            d, np.asarray(dele, dtype=np.int64))
+                        if not keep.all():
+                            if positional:
+                                # positions are per-doc runs of length tf
+                                pos = pos[np.repeat(keep, t.astype(np.int64))]
+                            d, t, dl = d[keep], t[keep], dl[keep]
+                if len(d):
+                    parts.append((d, t, dl, pos))
+            if not parts:
+                continue  # every posting of the group was tombstoned
             # sub-lists cover disjoint doc ranges but may share a segment
             # id (e.g. streamed batches meeting at a segment boundary) —
             # order by each part's first doc id so the concatenation stays
@@ -230,9 +348,15 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             carry = pdf[is_last].copy()
             body = pdf[~is_last]
             if not body.empty:
-                yield encode_block(body)
+                res = encode_block(body)
+                # a purge can tombstone every group of a batch; an empty
+                # frame's default dtypes break Arrow's array<double> column
+                if len(res):
+                    yield res
         if carry is not None and not carry.empty:
-            yield encode_block(carry)
+            res = encode_block(carry)
+            if len(res):
+                yield res
 
     # shard-grained commit, mirroring build_index (round-5 item #4): the
     # merge config-hash covers cfg AND the lineage descriptor, so a resume

@@ -103,7 +103,8 @@ def history(table_dir: str) -> list[dict]:
 
 def _commit(table_dir: str, operation: str, index_rel: str,
             lineage: dict, metrics: dict,
-            stream_batches: list[int] | None = None) -> dict:
+            stream_batches: list[int] | None = None,
+            delete_rel: str | None = None) -> dict:
     """THE commit point: snapshot record first, HEAD swap second — readers
     resolve through HEAD, so the table flips atomically or not at all."""
     ids = snapshot_ids(table_dir)
@@ -119,6 +120,8 @@ def _commit(table_dir: str, operation: str, index_rel: str,
     }
     if stream_batches is not None:
         snap["stream_batches"] = sorted(stream_batches)
+    if delete_rel is not None:
+        snap["delete_rel"] = delete_rel
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     _write_json(_snap_path(table_dir, snap["snapshot_id"]), snap)
     _write_json(os.path.join(_snap_dir(table_dir), "HEAD.json"),
@@ -183,7 +186,8 @@ def commit_append(spark: SparkSession, pages: DataFrame, table_dir: str,
                    lineage={"batch_id": bid, "parent_version": head["index_rel"],
                             "replay": bid in prior},
                    metrics={"rows_appended": n},
-                   stream_batches=batches)
+                   stream_batches=batches,
+                   delete_rel=head.get("delete_rel"))
 
 
 def commit_compact(spark: SparkSession, table_dir: str, factor: int = 2,
@@ -203,23 +207,108 @@ def commit_compact(spark: SparkSession, table_dir: str, factor: int = 2,
             "commit_compact (compaction reads only the base segments)")
     src = index_dir_of(table_dir)
     rel, vdir = _next_version_dir(table_dir)
+    # compaction PURGES tombstones: postings of deleted docs drop out and
+    # statistics are recomputed exactly, so the new snapshot carries no
+    # delete_rel and scores as a from-scratch build of the survivors
+    deletes = read_deletes(spark, table_dir)
     metrics = merge_segments(spark, src, vdir, factor=factor, cfg=cfg,
-                             n_shards=n_shards)
+                             n_shards=n_shards, deletes=deletes)
     return _commit(table_dir, "compact", rel,
                    lineage={"compacted_from": current_snapshot(table_dir)["snapshot_id"],
-                            "factor": factor}, metrics=metrics)
+                            "factor": factor,
+                            "tombstones_purged": deletes is not None},
+                   metrics=metrics)
 
 
 def commit_reconcile(spark: SparkSession, table_dir: str,
                      cfg: IndexConfig | None = None, n_shards: int = 4) -> dict:
     """Fold the current version's streamed batches into one globally-exact
-    index in a fresh version dir (see merge.reconcile_stream)."""
+    index in a fresh version dir (see merge.reconcile_stream).
+
+    Tombstones carry FORWARD (doc ids are unchanged by reconcile); only
+    compaction purges them.
+    """
+    head = current_snapshot(table_dir)
     src = index_dir_of(table_dir)
     rel, vdir = _next_version_dir(table_dir)
     metrics = reconcile_stream(spark, src, vdir, cfg=cfg, n_shards=n_shards)
     return _commit(table_dir, "reconcile", rel,
-                   lineage={"reconciled_from": current_snapshot(table_dir)["snapshot_id"]},
-                   metrics=metrics)
+                   lineage={"reconciled_from": head["snapshot_id"]},
+                   metrics=metrics,
+                   delete_rel=head.get("delete_rel"))
+
+
+def commit_delete(spark: SparkSession, table_dir: str, doc_ids) -> dict:
+    """Tombstone docs — an Iceberg-style delete-file commit, no data rewrite.
+
+    ``doc_ids`` is an iterable of ints or a DataFrame with a ``doc_id``
+    column. The commit writes a CUMULATIVE delete file (parent tombstones ∪
+    new — readers resolve exactly one file) and swaps HEAD; the index data
+    dirs are untouched, so time travel to pre-delete snapshots still sees
+    the docs. Queries via ``snapshot_topk``/``read_deletes`` mask
+    tombstoned ids at decode time with snapshot statistics (Lucene delete
+    semantics: stats go stale until a compaction purges — ``commit_compact``
+    then drops the postings and recomputes exact stats).
+    """
+    head = current_snapshot(table_dir)
+    if head is None:
+        raise FileNotFoundError(f"{table_dir}: delete needs a build snapshot first")
+    if isinstance(doc_ids, DataFrame):
+        new = doc_ids.select("doc_id").distinct()
+    else:
+        new = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    prior_rel = head.get("delete_rel")
+    if prior_rel:
+        new = new.unionByName(
+            spark.read.parquet(os.path.join(table_dir, prior_rel))).distinct()
+    ids = snapshot_ids(table_dir)
+    rel = os.path.join("deletes", f"del_{(ids[-1] + 1) if ids else 1:05d}")
+    tmp = os.path.join(table_dir, "_tmp_deletes")
+    shutil.rmtree(tmp, ignore_errors=True)
+    new.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(table_dir, rel)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    n = spark.read.parquet(final).count()
+    return _commit(table_dir, "delete", head["index_rel"],
+                   lineage={"parent_snapshot": head["snapshot_id"]},
+                   metrics={"tombstones_total": n},
+                   stream_batches=head.get("stream_batches"),
+                   delete_rel=rel)
+
+
+def read_deletes(spark: SparkSession, table_dir: str,
+                 as_of: int | None = None) -> DataFrame | None:
+    """The tombstone set visible at a snapshot (None when it has none)."""
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None or "delete_rel" not in snap:
+        return None
+    return spark.read.parquet(os.path.join(table_dir, snap["delete_rel"]))
+
+
+def snapshot_topk(spark: SparkSession, table_dir: str, queries,
+                  p=None, k: int | None = None,
+                  as_of: int | None = None, **kw) -> DataFrame:
+    """Snapshot-exact batch top-k: resolves the snapshot's index dir and
+    masks its tombstones. Pending-append snapshots must reconcile first
+    (their batch-local stats are not globally exact for scoring)."""
+    from dlkp_spark.query.wand import batch_topk
+
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    if snap.get("stream_batches"):
+        raise ValueError(
+            f"snapshot {snap['snapshot_id']} has pending stream batches — "
+            "commit_reconcile before querying (batch-local stats)")
+    return batch_topk(spark, os.path.join(table_dir, snap["index_rel"]),
+                      queries, p, k,
+                      deletes=read_deletes(spark, table_dir,
+                                           as_of=snap["snapshot_id"]),
+                      **kw)
 
 
 def read_postings(spark: SparkSession, table_dir: str,
@@ -265,8 +354,18 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     expired = [i for i in ids if i not in keep]
     for i in expired:
         os.remove(_snap_path(table_dir, i))
-    live_rels = {read_snapshot(table_dir, i)["index_rel"] for i in keep}
+    kept_snaps = [read_snapshot(table_dir, i) for i in keep]
+    live_rels = {s["index_rel"] for s in kept_snaps}
     for name in os.listdir(table_dir):
         if re.match(r"^v\d{5}$", name) and name not in live_rels:
             shutil.rmtree(os.path.join(table_dir, name))
+    # delete files work the same way: reclaim any not referenced by a
+    # retained snapshot (each snapshot's delete file is cumulative)
+    live_dels = {os.path.basename(s["delete_rel"])
+                 for s in kept_snaps if "delete_rel" in s}
+    del_dir = os.path.join(table_dir, "deletes")
+    if os.path.isdir(del_dir):
+        for name in os.listdir(del_dir):
+            if name not in live_dels:
+                shutil.rmtree(os.path.join(del_dir, name))
     return expired

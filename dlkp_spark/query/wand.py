@@ -420,19 +420,18 @@ def _allowed_docs(flt_rows, filter_attrs: list[str]) -> np.ndarray:
     return allowed if allowed is not None else np.empty(0, dtype=np.int64)
 
 
-def _apply_doc_filter(lists: list[dict], allowed: np.ndarray,
-                      block_size: int) -> list[dict]:
-    """Restrict decoded posting lists to ``allowed`` doc ids.
+def _mask_lists(lists: list[dict], masks: list[np.ndarray],
+                block_size: int) -> list[dict]:
+    """Drop postings where mask is False, rebuilding block-max metadata.
 
-    Filtering happens BEFORE any kernel — per-doc BM25 contributions are
-    independent, so dropping postings of disallowed docs leaves every
+    Masking happens BEFORE any kernel — per-doc BM25 contributions are
+    independent, so dropping postings of excluded docs leaves every
     surviving doc's score bit-identical. Block-max metadata is rebuilt from
     the surviving contributions (the original block boundaries no longer
     align), keeping BMW pruning exact for the per-query fallback path.
     """
     out = []
-    for lst in lists:
-        mask = np.isin(lst["docs"], allowed)
+    for lst, mask in zip(lists, masks):
         if mask.all():
             out.append(lst)
             continue
@@ -453,11 +452,26 @@ def _apply_doc_filter(lists: list[dict], allowed: np.ndarray,
     return out
 
 
+def _apply_doc_filter(lists: list[dict], allowed: np.ndarray,
+                      block_size: int) -> list[dict]:
+    """Restrict decoded posting lists to ``allowed`` doc ids."""
+    return _mask_lists(lists, [np.isin(lst["docs"], allowed) for lst in lists],
+                       block_size)
+
+
+def _apply_doc_deletes(lists: list[dict], deleted: np.ndarray,
+                       block_size: int) -> list[dict]:
+    """Drop tombstoned doc ids from decoded posting lists."""
+    return _mask_lists(
+        lists, [~np.isin(lst["docs"], deleted) for lst in lists], block_size)
+
+
 def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        dense_max_width: int = _DENSE_MAX_WIDTH,
                        conjunctive: bool = False,
                        min_match: int | None = None,
-                       filter_attrs: list[str] | None = None):
+                       filter_attrs: list[str] | None = None,
+                       use_deletes: bool = False):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -485,9 +499,17 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
         if filter_attrs:
             allowed = _allowed_docs(g["flt"].iloc[0], filter_attrs)
             g = g.drop(columns=["flt"])
+        deleted = None
+        if use_deletes:
+            raw = g["del_ids"].iloc[0]
+            g = g.drop(columns=["del_ids"])
+            if raw is not None and len(raw):
+                deleted = np.asarray(raw, dtype=np.int64)
         lists = [lst for lst in _decode_group(g, stats, p) if len(lst["docs"])]
         if allowed is not None:
             lists = _apply_doc_filter(lists, allowed, block_size)
+        if deleted is not None:
+            lists = _apply_doc_deletes(lists, deleted, block_size)
         qids, dids, scores = [], [], []
         if lists and live:
             # dense-accumulator setup: segment doc ids live in a bounded
@@ -581,8 +603,16 @@ def batch_topk(
     conjunctive: bool = False,
     min_match: int | None = None,
     filters: dict[str, list[str]] | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``deletes`` (a DataFrame with a ``doc_id`` column — tombstoned ids,
+    e.g. ``snapshots.read_deletes``) masks deleted docs out of the decoded
+    posting lists before scoring: they can neither rank nor occupy a top-k
+    slot. Scores of surviving docs keep the index's snapshot statistics
+    (stale until compaction purges the tombstones — Lucene delete
+    semantics); compaction with deletes recomputes exact stats.
 
     ``filters={"lang": ["en", "de"], ...}`` restricts candidates to docs
     whose attribute values match (IN within an attribute, AND across
@@ -672,11 +702,26 @@ def batch_topk(
                .agg(F.collect_list(F.struct("attr", "docs_vb")).alias("flt")))
         hits = hits.join(flt, "segment")
 
+    use_deletes = deletes is not None
+    if use_deletes:
+        seg_docs = int(stats_all.get("segment_docs") or 0)
+        if not seg_docs:
+            raise ValueError(f"{index_dir}: stats.json has no segment_docs — "
+                             "cannot map tombstones to segments")
+        # per-segment sorted tombstone lists (bounded by segment_docs per
+        # row); LEFT join — segments without deletes keep every posting
+        seg_del = (deletes.select("doc_id").distinct()
+                   .groupBy((F.col("doc_id") / F.lit(seg_docs))
+                            .cast("long").alias("segment"))
+                   .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids")))
+        hits = hits.join(seg_del, "segment", "left")
+
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     if not two_wave:
         kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
                                     conjunctive=conjunctive, min_match=min_match,
-                                    filter_attrs=filter_attrs)
+                                    filter_attrs=filter_attrs,
+                                    use_deletes=use_deletes)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -685,7 +730,8 @@ def batch_topk(
 
     kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
                                 conjunctive=conjunctive, min_match=min_match,
-                                filter_attrs=filter_attrs)
+                                filter_attrs=filter_attrs,
+                                use_deletes=use_deletes)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
