@@ -228,6 +228,62 @@ def section_selective() -> tuple[dict, dict]:
     return timings, extra
 
 
+def section_surface() -> tuple[dict, dict]:
+    """Round-5 query surface over ONE positional + attribute index:
+    exact/sloppy phrase, prefix expansion, conjunctive AND, metadata
+    filters, tombstone masking. One build (untimed), each query best-of-3."""
+    from dlkp_spark.cache import release_cached
+    from dlkp_spark.config import BM25Params, IndexConfig
+    from dlkp_spark.corpus import KNOWN_KEYPHRASES, generate_web_pages
+    from dlkp_spark.index.build import build_index, prepare_docs
+    from dlkp_spark.oracle import reference_query_set
+    from dlkp_spark.query.phrase import phrase_topk
+    from dlkp_spark.query.wand import batch_topk, prefix_topk
+    from dlkp_spark.session import get_spark
+
+    spark = get_spark("bench_surface", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    p = BM25Params()
+
+    src_dir = tempfile.mkdtemp(prefix="bench_spages_") + "/pages"
+    generate_web_pages(spark, N_DOCS, seed=42).write.parquet(src_dir)
+    pages = spark.read.parquet(src_dir)
+    idx = tempfile.mkdtemp(prefix="bench_sidx_") + "/idx"
+    docs = (prepare_docs(pages, validate=False, n_docs=N_DOCS)
+            .select("doc_id", "tokens", "keyphrases", "lang"))
+    cfg = IndexConfig(segment_docs=2048, block_size=64,
+                      n_term_partitions=CPUS, positions=True)
+    build_index(spark, docs, idx, cfg=cfg, n_shards=2, resume=False,
+                n_docs=N_DOCS, attrs=("lang",))
+    release_cached()
+    spark.catalog.clearCache()
+
+    phrases = [(i, kp.split()) for i, kp in enumerate(KNOWN_KEYPHRASES)]
+    timings["phrase_5q"] = _best_of(spark,
+        lambda: phrase_topk(spark, idx, phrases, p, k=10).count())
+    timings["sloppy_phrase_5q"] = _best_of(spark,
+        lambda: phrase_topk(spark, idx, phrases, p, k=10, slop=3).count())
+    prefixes = [(0, ["w00"]), (1, ["w01"]), (2, ["w1"])]
+    timings["prefix_3q"] = _best_of(spark,
+        lambda: prefix_topk(spark, idx, prefixes, p, k=10).count())
+    queries = reference_query_set(n_queries=200)
+    timings["conjunctive_200q"] = _best_of(spark,
+        lambda: batch_topk(spark, idx, queries, p, k=10,
+                           conjunctive=True).count())
+    timings["filtered_200q"] = _best_of(spark,
+        lambda: batch_topk(spark, idx, queries, p, k=10,
+                           filters={"lang": ["en"]}).count())
+    dels = spark.range(0, N_DOCS, 10).withColumnRenamed("id", "doc_id")
+    timings["deleted_200q"] = _best_of(spark,
+        lambda: batch_topk(spark, idx, queries, p, k=10,
+                           deletes=dels).count())
+    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
+    spark.stop()
+    return timings, {}
+
+
 def _run_contract_queries(names: list[str], app: str) -> dict:
     """One fresh JVM per call — the headline list outgrew a single
     session (the accumulated-stage tax documented in BASELINE.md showed
@@ -275,6 +331,7 @@ def section_curation() -> tuple[dict, dict]:
 
 
 SECTIONS = {"core": section_core, "selective": section_selective,
+            "surface": section_surface,
             "headline": section_headline, "curation": section_curation}
 
 
@@ -286,7 +343,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
-    for name in ("core", "selective", "headline", "curation"):
+    for name in ("core", "selective", "surface", "headline", "curation"):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             capture_output=True, text=True)
