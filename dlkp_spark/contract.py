@@ -375,6 +375,80 @@ SQL_BM25_DELETED = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+SNIPPET_WINDOW = 5
+
+
+def _snippet_sql(terms: list[str], k: int, qid: int, window: int) -> str:
+    """Snippet oracle: anchor = matched term with min (df, term); snippet =
+    the window tokens around the anchor's first occurrence (1-based
+    inclusive list slice — same bounds as the engine's slice arithmetic)."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos1
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+  ) WHERE rank <= {k}
+),
+anch AS (
+  SELECT m.doc_id, m.term,
+         row_number() OVER (PARTITION BY m.doc_id ORDER BY dfs.df, m.term) AS rn
+  FROM (SELECT DISTINCT doc_id, term FROM toks JOIN q USING (term)) m
+  JOIN dfs USING (term)
+),
+firstpos AS (SELECT doc_id, term, min(pos1) AS p FROM toks GROUP BY 1, 2),
+arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents)
+SELECT CAST({qid} AS BIGINT) AS query_id, top.rank, top.doc_id,
+       anch.term AS anchor,
+       array_to_string(arr.a[greatest(1, fp.p - {window}) :
+                             least(len(arr.a), fp.p + {window})], ' ') AS snippet
+FROM top
+JOIN anch ON anch.doc_id = top.doc_id AND anch.rn = 1
+JOIN firstpos fp ON fp.doc_id = top.doc_id AND fp.term = anch.term
+JOIN arr ON arr.doc_id = top.doc_id
+"""
+
+
+def q_bm25_snippets(spark, sf_dir):
+    """Top-k hits with deterministic snippets (round 5): anchor = the
+    rarest matched query term (min df, tie term-asc, df from posting
+    metadata), snippet = ±window tokens around its first occurrence.
+    The hit set broadcasts back onto the docs scan — no doc-side shuffle."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.snippet import snippet_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("snipidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (snippet_topk(spark, d, docs, BATCH_QUERIES, BM25Params(), k=5,
+                         window=SNIPPET_WINDOW)
+            .select("query_id", "rank", "doc_id", "anchor", "snippet"))
+
+
+SQL_BM25_SNIPPETS = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_snippet_sql(terms, 5, qid, SNIPPET_WINDOW)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 PHRASE_QUERIES = [(0, ["table", "hash"]), (1, ["stream", "table", "hash"]),
                   (2, ["hash", "zzznothere"])]
 
@@ -2321,6 +2395,7 @@ QUERIES = {
     "bm25_filtered": (q_bm25_filtered, SQL_BM25_FILTERED),
     "bm25_filtered_index": (q_bm25_filtered_index, SQL_BM25_FILTERED),
     "bm25_deleted": (q_bm25_deleted, SQL_BM25_DELETED),
+    "bm25_snippets": (q_bm25_snippets, SQL_BM25_SNIPPETS),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
