@@ -537,6 +537,40 @@ def load_attrs(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "attrs"))
 
 
+DOCMAP_COLS = ("url", "warc_ts", "lang")
+
+
+def write_docmap(spark: SparkSession, docs: DataFrame, index_dir: str) -> list[str]:
+    """Commit the doc-map sidecar: (doc_id, url[, warc_ts, lang]).
+
+    The posting index stores only integer doc ids (the compression and
+    kernel math need dense ints); this map is what turns results back into
+    urls and lets deletes address docs by url. One narrow scan, atomic
+    commit; at 10^12 docs it is the corpus's slimmest projection and joins
+    only against broadcast-sized hit sets.
+    """
+    cols = [c for c in DOCMAP_COLS if c in docs.columns]
+    if not cols:
+        raise ValueError("write_docmap: docs has none of "
+                         f"{DOCMAP_COLS} (columns: {docs.columns})")
+    tmp = os.path.join(index_dir, "_tmp", "docmap")
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs.select("doc_id", *cols).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(index_dir, "docmap")
+    shutil.rmtree(final, ignore_errors=True)
+    mf.commit_dataset(tmp, final)
+    return cols
+
+
+def load_docmap(spark: SparkSession, index_dir: str) -> DataFrame:
+    p = os.path.join(index_dir, "docmap")
+    if not os.path.isdir(p):
+        raise FileNotFoundError(
+            f"{index_dir} has no docmap sidecar — build with docs carrying "
+            "a url column (snapshots.commit_build writes it automatically)")
+    return spark.read.parquet(p)
+
+
 def load_stats(index_dir: str) -> dict:
     s = mf.read_global(index_dir, "stats.json")
     assert s is not None, f"no stats.json in {index_dir}"

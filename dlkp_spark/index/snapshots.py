@@ -41,6 +41,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dlkp_spark.config import IndexConfig
 from dlkp_spark.index.build import build_index, load_postings
@@ -147,15 +148,27 @@ def index_dir_of(table_dir: str, as_of: int | None = None) -> str:
 
 def commit_build(spark: SparkSession, docs: DataFrame, table_dir: str,
                  cfg: IndexConfig | None = None, n_shards: int = 4,
-                 n_docs: int | None = None) -> dict:
-    """Full (re)build into a fresh version dir; commits a ``build`` snapshot."""
+                 n_docs: int | None = None,
+                 attrs: tuple[str, ...] = ()) -> dict:
+    """Full (re)build into a fresh version dir; commits a ``build`` snapshot.
+
+    When ``docs`` carries a ``url`` column (the prepare_docs shape), the
+    doc-map sidecar (doc_id ↔ url [+warc_ts, lang]) is written alongside —
+    it powers ``commit_delete(urls=...)`` and ``resolve_urls``.
+    """
+    from dlkp_spark.index.build import write_docmap
+
     cfg = cfg or IndexConfig()
     rel, vdir = _next_version_dir(table_dir)
     os.makedirs(table_dir, exist_ok=True)
     metrics = build_index(spark, docs, vdir, cfg=cfg, n_shards=n_shards,
-                          resume=False, n_docs=n_docs)
+                          resume=False, n_docs=n_docs, attrs=attrs)
+    docmap_cols: list[str] = []
+    if "url" in docs.columns:
+        docmap_cols = write_docmap(spark, docs, vdir)
     return _commit(table_dir, "build", rel,
-                   lineage={"source": "full-build"}, metrics=metrics)
+                   lineage={"source": "full-build", "docmap": docmap_cols},
+                   metrics=metrics)
 
 
 def commit_append(spark: SparkSession, pages: DataFrame, table_dir: str,
@@ -238,11 +251,15 @@ def commit_reconcile(spark: SparkSession, table_dir: str,
                    delete_rel=head.get("delete_rel"))
 
 
-def commit_delete(spark: SparkSession, table_dir: str, doc_ids) -> dict:
+def commit_delete(spark: SparkSession, table_dir: str, doc_ids=None,
+                  urls=None) -> dict:
     """Tombstone docs — an Iceberg-style delete-file commit, no data rewrite.
 
     ``doc_ids`` is an iterable of ints or a DataFrame with a ``doc_id``
-    column. The commit writes a CUMULATIVE delete file (parent tombstones ∪
+    column; ``urls`` (iterable of strings or a DataFrame with a ``url``
+    column) addresses docs through the version's doc-map sidecar instead —
+    the natural key of the Common-Crawl input shape. The commit writes a
+    CUMULATIVE delete file (parent tombstones ∪
     new — readers resolve exactly one file) and swaps HEAD; the index data
     dirs are untouched, so time travel to pre-delete snapshots still sees
     the docs. Queries via ``snapshot_topk``/``read_deletes`` mask
@@ -253,7 +270,19 @@ def commit_delete(spark: SparkSession, table_dir: str, doc_ids) -> dict:
     head = current_snapshot(table_dir)
     if head is None:
         raise FileNotFoundError(f"{table_dir}: delete needs a build snapshot first")
-    if isinstance(doc_ids, DataFrame):
+    if (doc_ids is None) == (urls is None):
+        raise ValueError("commit_delete takes exactly one of doc_ids / urls")
+    if urls is not None:
+        from dlkp_spark.index.build import load_docmap
+
+        if isinstance(urls, DataFrame):
+            u = urls.select("url").distinct()
+        else:
+            u = spark.createDataFrame([(str(x),) for x in urls], "url string")
+        dm = load_docmap(spark, os.path.join(table_dir, head["index_rel"]))
+        new = (dm.join(F.broadcast(u), "url", "left_semi")
+               .select("doc_id").distinct())
+    elif isinstance(doc_ids, DataFrame):
         new = doc_ids.select("doc_id").distinct()
     else:
         new = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
@@ -276,6 +305,18 @@ def commit_delete(spark: SparkSession, table_dir: str, doc_ids) -> dict:
                    metrics={"tombstones_total": n},
                    stream_batches=head.get("stream_batches"),
                    delete_rel=rel)
+
+
+def resolve_urls(spark: SparkSession, table_dir: str, hits: DataFrame,
+                 as_of: int | None = None) -> DataFrame:
+    """Join a (…, doc_id, …) result frame back to urls via the snapshot's
+    doc-map sidecar. The hit frame is broadcast (results are ≤ queries × k
+    rows), so the map is one scan with no shuffle."""
+    from dlkp_spark.index.build import load_docmap
+
+    dm = load_docmap(spark, index_dir_of(table_dir, as_of=as_of))
+    return dm.join(F.broadcast(hits), "doc_id").select(
+        *hits.columns, *[c for c in dm.columns if c != "doc_id"])
 
 
 def read_deletes(spark: SparkSession, table_dir: str,

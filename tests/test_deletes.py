@@ -164,3 +164,46 @@ def test_append_after_delete_carries_tombstones(spark, tmp_path):
     assert snap.get("delete_rel"), "append dropped the tombstones"
     dels = sn.read_deletes(spark, t)
     assert dels.count() == 60
+
+
+def test_docmap_url_delete_and_resolve(spark, tmp_path):
+    from dlkp_spark.corpus import generate_web_pages
+    from dlkp_spark.index.build import load_docmap, prepare_docs
+
+    t = str(tmp_path / "urltbl")
+    docs = prepare_docs(generate_web_pages(spark, 150, seed=6), n_docs=150)
+    cfg = IndexConfig(segment_docs=64, n_term_partitions=4)
+    snap = sn.commit_build(spark, docs, t, cfg=cfg, n_shards=1, n_docs=150)
+    assert snap["lineage"]["docmap"] == ["url", "warc_ts", "lang"]
+    dm = load_docmap(spark, sn.index_dir_of(t))
+    assert dm.count() == 150 and dm.select("url").distinct().count() == 150
+
+    hits = sn.snapshot_topk(spark, t, [(0, ["w0003", "w0007"])],
+                            BM25Params(), k=5)
+    res = sn.resolve_urls(spark, t, hits).collect()
+    assert len(res) == 5 and all(r.url.startswith("https://site") for r in res)
+
+    top = next(r for r in res if r.rank == 1)
+    sn.commit_delete(spark, t, urls=[top.url])
+    res2 = sn.snapshot_topk(spark, t, [(0, ["w0003", "w0007"])],
+                            BM25Params(), k=5).collect()
+    assert all(r.doc_id != top.doc_id for r in res2)
+    # unknown url is a no-op; exactly-one-of arg contract enforced
+    s3 = sn.commit_delete(spark, t, urls=["https://nowhere.example/x"])
+    assert s3["metrics"]["tombstones_total"] == 1
+    with pytest.raises(ValueError, match="exactly one"):
+        sn.commit_delete(spark, t, doc_ids=[1], urls=["x"])
+    with pytest.raises(ValueError, match="exactly one"):
+        sn.commit_delete(spark, t)
+
+
+def test_docmap_absent_without_url_column(spark, tmp_path):
+    from dlkp_spark.index.build import load_docmap
+
+    t = str(tmp_path / "nourl")
+    sn.commit_build(spark, _corpus(spark, n=80), t, cfg=CFG, n_shards=1,
+                    n_docs=80)
+    with pytest.raises(FileNotFoundError, match="docmap"):
+        load_docmap(spark, sn.index_dir_of(t))
+    with pytest.raises(FileNotFoundError, match="docmap"):
+        sn.commit_delete(spark, t, urls=["x"])
