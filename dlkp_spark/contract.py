@@ -375,6 +375,65 @@ SQL_BM25_DELETED = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+# (term, weight) per query — weights chosen so they REORDER results vs the
+# unboosted ranking (a rare term boosted down, a common one boosted up)
+BOOST_QUERIES = [
+    (0, [("data", 3.0), ("table", 1.0)]),
+    (1, [("stream", 0.25), ("hash", 2.0)]),
+    (2, [("table", 1.5), ("hash", 1.0), ("stream", 1.0)]),
+]
+
+
+def _boosted_sql(terms: list[tuple[str, float]], k: int, qid: int) -> str:
+    values = ", ".join(f"('{t}', {w})" for t, w in sorted(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT * FROM (VALUES {values}) AS q(term, w)),
+sc AS (
+  SELECT tf.doc_id,
+         sum((ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * q.w) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_boosted(spark, sf_dir):
+    """Lucene-style per-term query boosts on the compressed-index batch
+    path ("term^w" syntax): the term's contribution scales by w, grouped
+    (boost × contrib) × w in every kernel so dense/BMW/TAAT stay
+    bit-consistent; the two-wave upper bound scales the same way (float
+    multiply by a positive weight is monotone → still admissible).
+    Weights chosen to REORDER results vs the unboosted ranking."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("boostidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    queries = [(qid, [f"{t}^{w}" for t, w in terms])
+               for qid, terms in BOOST_QUERIES]
+    return (batch_topk(spark, d, queries, BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_BOOSTED = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_boosted_sql(terms, 5, qid)})"
+    for qid, terms in BOOST_QUERIES)
+
+
 SNIPPET_WINDOW = 5
 
 
@@ -2396,6 +2455,7 @@ QUERIES = {
     "bm25_filtered_index": (q_bm25_filtered_index, SQL_BM25_FILTERED),
     "bm25_deleted": (q_bm25_deleted, SQL_BM25_DELETED),
     "bm25_snippets": (q_bm25_snippets, SQL_BM25_SNIPPETS),
+    "bm25_boosted": (q_bm25_boosted, SQL_BM25_BOOSTED),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),

@@ -44,6 +44,11 @@ def exact_topk(
     one extra ``countDistinct`` in the existing per-doc aggregation plus a
     broadcast join against per-query term counts — no additional shuffle.
 
+    A ``weight`` column on ``queries`` applies Lucene-style per-term query
+    boosts: that term's contribution is multiplied by the weight for that
+    query (grouped ``(boost × contrib) × weight``, matching the index
+    path's ``"term^w"`` syntax bit-for-bit in expression shape).
+
     ``doc_filter`` (a boolean Column over docs' columns) restricts
     CANDIDATES, not statistics: idf/avgdl stay full-corpus (Lucene filter
     semantics, and identical to the index path's attribute filters), so it
@@ -61,7 +66,9 @@ def exact_topk(
     # prunes to query-term rows before any wide shuffle. df for those terms
     # comes from a count window over the same partitioning — one shuffle,
     # one pass, no cache to leak.
-    q = queries.select("query_id", "term").distinct()
+    weighted = "weight" in queries.columns
+    cols = ["query_id", "term"] + (["weight"] if weighted else [])
+    q = queries.select(*cols).distinct()
     q_terms = q.select("term").distinct()
     term_rows = tokens.join(F.broadcast(q_terms), "term")
     w_df = Window.partitionBy("field", "term")
@@ -78,6 +85,9 @@ def exact_topk(
     tf_norm = (tfd * F.lit(p.k1 + 1.0)) / (
         tfd + F.lit(p.k1) * (F.lit(1.0 - p.b) + F.lit(p.b) * dld / avgdl))
     contrib = boost * (idf * tf_norm)
+    if weighted:
+        # (boost × contrib) × weight — the index path's exact grouping
+        contrib = contrib * F.col("weight")
 
     score_agg = F.aggregate(
         F.array_sort(F.collect_list("c")),

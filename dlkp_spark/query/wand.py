@@ -399,6 +399,46 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
     return [(base + int(cand[i]), float(sc[i])) for i in order]
 
 
+def _parse_boosts(queries) -> tuple[list[tuple[int, list[str]]], dict]:
+    """Lucene query-boost syntax: a term ``"spark^2.5"`` weights that
+    term's contribution by 2.5 for that query. Returns (clean queries,
+    {(qid, term): weight}) with weights validated > 0."""
+    clean, weights = [], {}
+    for qid, terms in queries:
+        bare = []
+        for t in terms:
+            if "^" in t:
+                t, _, ws = t.partition("^")
+                w = float(ws)
+                if w <= 0:
+                    raise ValueError(f"query {qid}: boost must be > 0, got {w}")
+                if w != 1.0:
+                    weights[(int(qid), t)] = w
+            bare.append(t)
+        clean.append((qid, bare))
+    return clean, weights
+
+
+def _weight_list(lst: dict, w: float) -> dict:
+    """A query-weighted copy of a decoded posting list.
+
+    Contribution order is ``(boost × contrib) × w`` — the same grouping in
+    every kernel and in the SQL oracle, so weighted scores stay
+    bit-consistent across the dense/TAAT/BMW paths (float multiply is
+    commutative but NOT associative; the grouping must be fixed). boost
+    folds to 1.0 (multiplying by the literal 1.0 afterwards is exact), and
+    block-max bounds scale by the same positive factor, so BMW pruning
+    stays admissible and exact.
+    """
+    new = dict(lst)
+    new["contribs"] = (lst["boost"] * lst["contribs"]) * w
+    new["block_max"] = (lst["boost"] * lst["block_max"]) * w
+    new["boost"] = 1.0
+    if "vals" in lst:
+        new["vals"] = lst["vals"] * w
+    return new
+
+
 def _allowed_docs(flt_rows, filter_attrs: list[str]) -> np.ndarray:
     """Decode a segment's attribute blobs → allowed doc-id set.
 
@@ -471,7 +511,8 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        conjunctive: bool = False,
                        min_match: int | None = None,
                        filter_attrs: list[str] | None = None,
-                       use_deletes: bool = False):
+                       use_deletes: bool = False,
+                       qweights: dict | None = None):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -527,7 +568,14 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                 by_term.setdefault(lst["term"], []).append(lst)
             acc = np.zeros(width, dtype=np.float64) if dense else None
             for qid, terms in live:
-                q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+                if qweights:
+                    q_lists = []
+                    for t in terms:
+                        w = qweights.get((qid, t))
+                        for lst in by_term.get(t, []):
+                            q_lists.append(_weight_list(lst, w) if w else lst)
+                else:
+                    q_lists = [lst for t in terms for lst in by_term.get(t, [])]
                 # non-dense fallback: the per-query adaptive kernel, which
                 # may still go dense for a query whose own lists span a
                 # narrow doc range, else BMW — never a segment-width buffer
@@ -671,6 +719,7 @@ def batch_topk(
         two_wave = _should_two_wave(stats_all["n_docs"],
                                     stats_all.get("segment_docs"),
                                     auto_cutoff)
+    queries, qweights = _parse_boosts(queries)
     qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
     all_terms = sorted({t for _, terms in qmap for t in terms})
     if not all_terms:
@@ -721,7 +770,7 @@ def batch_topk(
         kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
                                     conjunctive=conjunctive, min_match=min_match,
                                     filter_attrs=filter_attrs,
-                                    use_deletes=use_deletes)
+                                    use_deletes=use_deletes, qweights=qweights)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -731,18 +780,23 @@ def batch_topk(
     kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
                                 conjunctive=conjunctive, min_match=min_match,
                                 filter_attrs=filter_attrs,
-                                use_deletes=use_deletes)
+                                use_deletes=use_deletes, qweights=qweights)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
     # one row per (query, touched segment)
-    pair_rows = [(qid, t) for qid, terms in qmap for t in terms]
-    qt_df = spark.createDataFrame(pair_rows, "query_id long, term string")
+    pair_rows = [(qid, t, qweights.get((qid, t), 1.0))
+                 for qid, terms in qmap for t in terms]
+    qt_df = spark.createDataFrame(pair_rows,
+                                  "query_id long, term string, qw double")
     boost = F.when(F.col("field") == FIELD_KP, F.lit(p.kp_boost)).otherwise(F.lit(1.0))
+    # (max_contrib × boost) × qw — same grouping as the kernels' weighted
+    # contribution, and float multiply by a positive weight is monotone,
+    # so the bound stays admissible under query boosts
     ub = (postings.select("term", "field", "segment", "max_contrib")
           .join(F.broadcast(qt_df), "term")
           .groupBy("query_id", "segment")
-          .agg(F.sum(F.col("max_contrib") * boost).alias("ub"))
+          .agg(F.sum((F.col("max_contrib") * boost) * F.col("qw")).alias("ub"))
           .persist())
     try:
         uw = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("segment"))
