@@ -352,6 +352,27 @@ def snapshot_topk(spark: SparkSession, table_dir: str, queries,
                       **kw)
 
 
+def snapshot_phrase_topk(spark: SparkSession, table_dir: str, phrases,
+                         p=None, k: int | None = None,
+                         as_of: int | None = None, **kw) -> DataFrame:
+    """Snapshot-exact phrase top-k (tombstones masked); see snapshot_topk."""
+    from dlkp_spark.query.phrase import phrase_topk
+
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    if snap.get("stream_batches"):
+        raise ValueError(
+            f"snapshot {snap['snapshot_id']} has pending stream batches — "
+            "commit_reconcile before querying (batch-local stats)")
+    return phrase_topk(spark, os.path.join(table_dir, snap["index_rel"]),
+                       phrases, p, k,
+                       deletes=read_deletes(spark, table_dir,
+                                            as_of=snap["snapshot_id"]),
+                       **kw)
+
+
 def read_postings(spark: SparkSession, table_dir: str,
                   as_of: int | None = None) -> DataFrame:
     """Posting frame exactly as of a snapshot (HEAD when ``as_of`` is None).

@@ -153,8 +153,14 @@ def phrase_topk(
     k: int | None = None,
     postings: DataFrame | None = None,
     slop: int = 0,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Phrase search → (query_id, rank, doc_id, score), rank 1..k.
+
+    ``deletes`` (doc_id DataFrame — tombstoned ids) masks deleted docs out
+    of the candidate set INSIDE the segment kernel, before its per-segment
+    top-k truncation — a tombstoned doc can neither match nor occupy a
+    top-k slot (same contract as ``batch_topk(deletes=...)``).
 
     ``slop=0`` (default) is exact adjacency. ``slop=s`` relaxes to the
     ordered sloppy phrase: terms in order within ``len(phrase)−1+s`` token
@@ -184,13 +190,36 @@ def phrase_topk(
         postings = load_postings(spark, index_dir)
     hits = (postings.filter(F.col("field") == FIELD_BODY)
             .join(F.broadcast(t_df), "term"))
+    use_deletes = deletes is not None
+    if use_deletes:
+        seg_docs = int(stats_all.get("segment_docs") or 0)
+        if not seg_docs:
+            raise ValueError(f"{index_dir}: stats.json has no segment_docs — "
+                             "cannot map tombstones to segments")
+        seg_del = (deletes.select("doc_id").distinct()
+                   .groupBy((F.col("doc_id") / F.lit(seg_docs))
+                            .cast("long").alias("segment"))
+                   .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids")))
+        hits = hits.join(seg_del, "segment", "left")
 
     def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        deleted = None
+        if use_deletes:
+            raw = g["del_ids"].iloc[0]
+            g = g.drop(columns=["del_ids"])
+            if raw is not None and len(raw):
+                deleted = np.asarray(raw, dtype=np.int64)
         by_term = _decode_positional_group(g, stats, p)
         qids, dids, scores = [], [], []
         for qid, phrase in qmap:
-            top = sorted(_phrase_matches(by_term, phrase, slop),
-                         key=lambda ds: (-ds[1], ds[0]))[:k]
+            matches = _phrase_matches(by_term, phrase, slop)
+            if deleted is not None and matches:
+                ds = np.fromiter((d for d, _ in matches), dtype=np.int64)
+                idx = np.searchsorted(deleted, ds)
+                hit = (idx < len(deleted)) & (deleted[np.minimum(
+                    idx, len(deleted) - 1)] == ds)
+                matches = [m for m, dead in zip(matches, hit) if not dead]
+            top = sorted(matches, key=lambda ds: (-ds[1], ds[0]))[:k]
             for d, s in top:
                 qids.append(qid)
                 dids.append(d)

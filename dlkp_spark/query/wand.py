@@ -836,11 +836,13 @@ def prefix_topk(
     k: int | None = None,
     max_expansion: int = 1024,
     postings: DataFrame | None = None,
+    **topk_kw,
 ) -> DataFrame:
     """Prefix (wildcard ``pre*``) top-k: expand each prefix to its matching
     index terms, then score as a multi-term OR query through the regular
     batch kernel — each matched term keeps its own idf, identical to
-    running the expanded term list by hand.
+    running the expanded term list by hand. Extra kwargs
+    (filters/deletes/...) pass through to ``batch_topk``.
 
     Expansion happens against the INDEX's term dictionary (one distinct
     projection over posting-row metadata — no blob decodes; the
@@ -874,7 +876,7 @@ def prefix_topk(
                 "or raise the cap")
     term_queries = [(qid, expanded[pre]) for qid, pre in qmap]
     return batch_topk(spark, index_dir, term_queries, p, k=k,
-                      postings=postings)
+                      postings=postings, **topk_kw)
 
 
 def two_wave_pair_counts(

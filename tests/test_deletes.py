@@ -207,3 +207,46 @@ def test_docmap_absent_without_url_column(spark, tmp_path):
         load_docmap(spark, sn.index_dir_of(t))
     with pytest.raises(FileNotFoundError, match="docmap"):
         sn.commit_delete(spark, t, urls=["x"])
+
+
+def test_phrase_and_prefix_respect_tombstones(spark, tmp_path):
+    """A tombstoned doc must not surface from ANY query surface: phrase
+    masking happens inside the segment kernel BEFORE per-segment top-k
+    truncation, prefix routes through batch_topk's delete path."""
+    from dlkp_spark.query.phrase import phrase_topk
+    from dlkp_spark.query.wand import prefix_topk
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(160):
+        toks = [f"w{rng.randint(0, 12):03d}" for _ in range(rng.randint(15, 25))]
+        if i % 2 == 0:
+            toks[3:3] = ["gamma", "delta"]
+        rows.append((i, toks, []))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>, keyphrases array<string>")
+    cfg = IndexConfig(segment_docs=32, block_size=16, n_term_partitions=4,
+                      positions=True)
+    t = str(tmp_path / "qsur")
+    sn.commit_build(spark, docs, t, cfg=cfg, n_shards=1, n_docs=160)
+    idx = sn.index_dir_of(t)
+
+    before = phrase_topk(spark, idx, [(0, ["gamma", "delta"])],
+                         BM25Params(), k=200).collect()
+    assert any(r.doc_id < 80 for r in before)
+    sn.commit_delete(spark, t, range(0, 80))
+
+    ph = sn.snapshot_phrase_topk(spark, t, [(0, ["gamma", "delta"])],
+                                 BM25Params(), k=200).collect()
+    assert ph and all(r.doc_id >= 80 for r in ph)
+    # masking is exact: survivors keep their pre-delete scores and fill
+    # top-k slots freed by tombstoned docs
+    want = sorted([(r.doc_id, r.score) for r in before if r.doc_id >= 80],
+                  key=lambda x: (-x[1], x[0]))
+    assert [(r.doc_id, r.score) for r in
+            sorted(ph, key=lambda r: r.rank)] == want
+
+    dels = sn.read_deletes(spark, t)
+    pre = prefix_topk(spark, idx, [(0, "w00")], BM25Params(), k=200,
+                      deletes=dels).collect()
+    assert pre and all(r.doc_id >= 80 for r in pre)
