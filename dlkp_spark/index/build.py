@@ -461,6 +461,13 @@ def build_index(
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b, "kp_boost": cfg.bm25.kp_boost},
         "segment_docs": cfg.segment_docs, "block_size": cfg.block_size,
         "positions": cfg.positions, "attrs": sorted(attrs),
+        # smallest id greater than any indexed doc — the append high-water
+        # seed. n_docs is only correct while ids are dense 0..n-1 (the
+        # prepare_docs contract); a purge-compaction makes ids SPARSE, so
+        # merge/reconcile carry this forward instead of re-deriving from
+        # the post-purge n_docs (which would hand out ids that collide
+        # with survivors).
+        "doc_id_ceiling": n_docs,
     })
     tokens_df = tokens.join(dfs, ["field", "term"])
 

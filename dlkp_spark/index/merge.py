@@ -154,7 +154,11 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     postings = (load_postings(spark, index_dir)
                 .withColumn("new_segment", (F.col("segment") / factor).cast("long")))
     lineage = {"merged_from": index_dir, "factor": factor}
+    # append high-water mark: purged ids are never reused, so the ceiling
+    # carries from the source unchanged (n_docs shrinks; the id space not)
+    stats["doc_id_ceiling"] = int(stats.get("doc_id_ceiling", stats["n_docs"]))
     purge = deletes is not None
+    seg_del = None
     if purge:
         seg_docs = int(stats.get("segment_docs") or cfg.segment_docs)
         seg_del = (deletes.select("doc_id").distinct()
@@ -166,10 +170,107 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         postings = (postings.drop("df").join(gdf, ["term", "field"])
                     .withColumnRenamed("new_df", "df"))
         lineage["deletes_purged"] = n_deleted
-    return _merge_write(spark, postings, stats, out_dir, cfg,
-                        lineage=lineage,
-                        segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor,
-                        n_shards=n_shards, resume=resume, purge=purge)
+    out = _merge_write(spark, postings, stats, out_dir, cfg,
+                       lineage=lineage,
+                       segment_docs=stats.get("segment_docs", cfg.segment_docs) * factor,
+                       n_shards=n_shards, resume=resume, purge=purge)
+    _carry_sidecars(spark, index_dir, out_dir, factor, seg_del, deletes)
+    return out
+
+
+def _carry_sidecars(spark: SparkSession, index_dir: str, out_dir: str,
+                    factor: int, seg_del, deletes) -> None:
+    """Compaction carries the attribute-postings and doc-map sidecars.
+
+    Attr doc lists re-key to the merged segments (segment // factor, the
+    same remap as the postings) with tombstoned ids purged; the doc map
+    copies minus tombstones. Without this, filtered search on a compacted
+    index would lose its sidecar (stats still advertises ``attrs``).
+    """
+    attrs_src = os.path.join(index_dir, "attrs")
+    if os.path.isdir(attrs_src):
+        from dlkp_spark.index.build import ATTRS_SCHEMA, load_attrs
+        from dlkp_spark.index.codec import delta_encode, varbyte_encode
+
+        rows = (load_attrs(spark, index_dir)
+                .withColumn("new_segment",
+                            (F.col("segment") / factor).cast("long")))
+        if seg_del is not None:
+            rows = rows.join(seg_del, "segment", "left")
+        purge = seg_del is not None
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            key = ["attr", "value", "new_segment"]
+            carry: pd.DataFrame | None = None
+
+            def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+                out: dict[str, list] = {c: [] for c in
+                                        ("attr", "value", "segment",
+                                         "n_docs", "docs_vb")}
+                for (a, v, seg), g in pdf.groupby(key, sort=True):
+                    parts = []
+                    for i in range(len(g)):
+                        ids = delta_decode(varbyte_decode(
+                            g["docs_vb"].iloc[i]).astype(np.int64))
+                        if purge:
+                            dele = g["del_ids"].iloc[i]
+                            if dele is not None and len(dele):
+                                ids = ids[~np.isin(
+                                    ids, np.asarray(dele, dtype=np.int64))]
+                        if len(ids):
+                            parts.append(ids)
+                    if not parts:
+                        continue
+                    parts.sort(key=lambda x: int(x[0]))
+                    ids = np.concatenate(parts)
+                    out["attr"].append(a)
+                    out["value"].append(v)
+                    out["segment"].append(int(seg))
+                    out["n_docs"].append(len(ids))
+                    out["docs_vb"].append(varbyte_encode(delta_encode(ids)))
+                return pd.DataFrame(out)
+
+            for pdf in batches:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if pdf.empty:
+                    carry = None
+                    continue
+                last_key = tuple(pdf[key].iloc[-1])
+                is_last = (pdf[key] == last_key).all(axis=1)
+                carry = pdf[is_last].copy()
+                body = pdf[~is_last]
+                if not body.empty:
+                    res = encode(body)
+                    if len(res):
+                        yield res
+            if carry is not None and not carry.empty:
+                res = encode(carry)
+                if len(res):
+                    yield res
+
+        enc = (rows.repartition("attr", "value", "new_segment")
+               .sortWithinPartitions("attr", "value", "new_segment", "segment")
+               .mapInPandas(kernel, ATTRS_SCHEMA))
+        tmp = os.path.join(out_dir, "_tmp_attrs")
+        shutil.rmtree(tmp, ignore_errors=True)
+        enc.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(out_dir, "attrs")
+        shutil.rmtree(final, ignore_errors=True)
+        mf.commit_dataset(tmp, final)
+
+    dm_src = os.path.join(index_dir, "docmap")
+    if os.path.isdir(dm_src):
+        dm = spark.read.parquet(dm_src)
+        if deletes is not None:
+            dm = dm.join(deletes.select("doc_id").distinct(),
+                         "doc_id", "left_anti")
+        tmp = os.path.join(out_dir, "_tmp_docmap")
+        shutil.rmtree(tmp, ignore_errors=True)
+        dm.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(out_dir, "docmap")
+        shutil.rmtree(final, ignore_errors=True)
+        mf.commit_dataset(tmp, final)
 
 
 def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
@@ -208,6 +309,15 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
         all_stats.append(load_stats(index_dir))
     n_docs = sum(s["n_docs"] for s in all_stats)
     dl_sums = {f: sum(s["dl_sums"][f] for s in all_stats) for f in (0, 1)}
+    # append high-water mark: the source's ingest manifest knows the true
+    # next free id (batch bases + sizes); fall back to the base ceiling
+    ingest_m = mf.read_global(index_dir, "ingest.json")
+    base_stats = load_stats(index_dir) if os.path.isdir(base) else None
+    ceiling = max(
+        int(ingest_m["next_doc_id"]) if ingest_m else 0,
+        int(base_stats.get("doc_id_ceiling", base_stats["n_docs"]))
+        if base_stats else 0,
+        n_docs)
     stats = {
         "n_docs": n_docs,
         "avgdl": {f: dl_sums[f] / n_docs for f in (0, 1)},
@@ -216,6 +326,7 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
         "block_size": cfg.block_size,
         "config_hash": mf.config_hash((cfg, "v1")),
         "positions": pos_flags.pop() if pos_flags else False,
+        "doc_id_ceiling": ceiling,
     }
     paths = [os.path.join(d, "segments") for d in sub_dirs]
     if os.path.isdir(base):
@@ -233,11 +344,30 @@ def reconcile_stream(spark: SparkSession, index_dir: str, out_dir: str,
     postings = (postings.drop("df")
                 .join(gdf, ["term", "field"])
                 .withColumnRenamed("gdf", "df"))
-    return _merge_write(spark, postings, stats, out_dir, cfg,
-                        lineage={"reconciled_from": index_dir,
-                                 "n_sub_indexes": len(all_stats)},
-                        segment_docs=stats["segment_docs"],
-                        n_shards=n_shards, resume=resume)
+    out = _merge_write(spark, postings, stats, out_dir, cfg,
+                       lineage={"reconciled_from": index_dir,
+                                "n_sub_indexes": len(all_stats)},
+                       segment_docs=stats["segment_docs"],
+                       n_shards=n_shards, resume=resume)
+    # the doc-map union rides into the reconciled version (base + every
+    # batch sidecar); attribute postings do NOT — streamed sub-indexes
+    # carry none, so a reconciled index advertises attrs=[] and filtered
+    # search correctly demands a rebuild with attrs
+    dm_paths = [p for p in ([os.path.join(index_dir, "docmap")]
+                            + [os.path.join(d, "docmap") for d in sub_dirs])
+                if os.path.isdir(p)]
+    if dm_paths:
+        parts_dm = [spark.read.parquet(p) for p in dm_paths]
+        dm = parts_dm[0]
+        for q in parts_dm[1:]:
+            dm = dm.unionByName(q, allowMissingColumns=True)
+        tmp = os.path.join(out_dir, "_tmp_docmap")
+        shutil.rmtree(tmp, ignore_errors=True)
+        dm.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(out_dir, "docmap")
+        shutil.rmtree(final, ignore_errors=True)
+        mf.commit_dataset(tmp, final)
+    return out
 
 
 def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,

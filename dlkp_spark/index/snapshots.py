@@ -273,13 +273,11 @@ def commit_delete(spark: SparkSession, table_dir: str, doc_ids=None,
     if (doc_ids is None) == (urls is None):
         raise ValueError("commit_delete takes exactly one of doc_ids / urls")
     if urls is not None:
-        from dlkp_spark.index.build import load_docmap
-
         if isinstance(urls, DataFrame):
             u = urls.select("url").distinct()
         else:
             u = spark.createDataFrame([(str(x),) for x in urls], "url string")
-        dm = load_docmap(spark, os.path.join(table_dir, head["index_rel"]))
+        dm = _snapshot_docmap(spark, table_dir, head)
         new = (dm.join(F.broadcast(u), "url", "left_semi")
                .select("doc_id").distinct())
     elif isinstance(doc_ids, DataFrame):
@@ -307,14 +305,36 @@ def commit_delete(spark: SparkSession, table_dir: str, doc_ids=None,
                    delete_rel=rel)
 
 
+def _snapshot_docmap(spark: SparkSession, table_dir: str, snap: dict) -> DataFrame:
+    """The doc map visible at a snapshot: the version's base sidecar plus
+    each LISTED stream batch's sidecar (appends extend the id space, and
+    append_batch writes a per-batch doc map alongside its sub-index)."""
+    from dlkp_spark.index.build import load_docmap
+
+    vdir = os.path.join(table_dir, snap["index_rel"])
+    paths = [os.path.join(vdir, "docmap")]
+    for bid in snap.get("stream_batches", []):
+        paths.append(os.path.join(vdir, "stream", f"batch={bid}", "docmap"))
+    live = [p for p in paths if os.path.isdir(p)]
+    if not live:
+        load_docmap(spark, vdir)  # raises the canonical docmap error
+    parts = [spark.read.parquet(p) for p in live]
+    dm = parts[0]
+    for p in parts[1:]:
+        dm = dm.unionByName(p, allowMissingColumns=True)
+    return dm
+
+
 def resolve_urls(spark: SparkSession, table_dir: str, hits: DataFrame,
                  as_of: int | None = None) -> DataFrame:
     """Join a (…, doc_id, …) result frame back to urls via the snapshot's
-    doc-map sidecar. The hit frame is broadcast (results are ≤ queries × k
-    rows), so the map is one scan with no shuffle."""
-    from dlkp_spark.index.build import load_docmap
-
-    dm = load_docmap(spark, index_dir_of(table_dir, as_of=as_of))
+    doc-map sidecar(s). The hit frame is broadcast (results are ≤ queries
+    × k rows), so the map is one scan with no shuffle."""
+    snap = read_snapshot(table_dir, as_of) if as_of is not None \
+        else current_snapshot(table_dir)
+    if snap is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    dm = _snapshot_docmap(spark, table_dir, snap)
     return dm.join(F.broadcast(hits), "doc_id").select(
         *hits.columns, *[c for c in dm.columns if c != "doc_id"])
 

@@ -45,11 +45,13 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
     m = mf.read_global(index_dir, "ingest.json")
     if m is None:
         # first append into this dir: if it already holds a base-built
-        # index, the id space [0, n_docs) is taken — seed the high-water
-        # mark from its stats so appended doc ids stay disjoint from the
-        # base (reconcile_stream's disjoint-ranges invariant)
+        # index, its id space is taken — seed the high-water mark from the
+        # stats' doc_id_ceiling (NOT n_docs: a purge-compaction leaves ids
+        # sparse, and n_docs would hand out ids colliding with survivors)
+        # so appended doc ids stay disjoint (reconcile's invariant)
         stats = mf.read_global(index_dir, "stats.json")
-        m = {"next_doc_id": int(stats["n_docs"]) if stats else 0, "batches": {}}
+        seed = int(stats.get("doc_id_ceiling", stats["n_docs"])) if stats else 0
+        m = {"next_doc_id": seed, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}
     replay = str(batch_id) in batches
@@ -75,6 +77,18 @@ def append_batch(spark: SparkSession, pages: DataFrame, index_dir: str,
         "doc_id", F.col("doc_id") + F.lit(base))
     sub_dir = os.path.join(index_dir, "stream", f"batch={batch_id}")
     build_index(spark, docs, sub_dir, cfg=cfg, n_shards=1, resume=False, n_docs=n)
+    # batch doc-map (url addressing over appended docs): derived from the
+    # SLIM url projection — with_doc_ids ranks urls, the same mapping
+    # prepare_docs used, so no extra Arrow tagger pass runs for this
+    from dlkp_spark.analysis.analyzer import with_doc_ids
+    from dlkp_spark.index.build import DOCMAP_COLS, write_docmap
+
+    slim_cols = [c for c in DOCMAP_COLS if c in pages.columns]
+    if "url" in slim_cols:
+        dm = (with_doc_ids(pages.select("url", *[c for c in slim_cols
+                                                 if c != "url"]), n_docs=n)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(base)))
+        write_docmap(spark, dm, sub_dir)
     m = mf.read_global(index_dir, "ingest.json") or {"next_doc_id": 0, "batches": {}}
     batches = {str(k): v for k, v in m.get("batches", {}).items()} \
         if isinstance(m.get("batches"), dict) else {}

@@ -250,3 +250,47 @@ def test_phrase_and_prefix_respect_tombstones(spark, tmp_path):
     pre = prefix_topk(spark, idx, [(0, "w00")], BM25Params(), k=200,
                       deletes=dels).collect()
     assert pre and all(r.doc_id >= 80 for r in pre)
+
+
+def test_docmap_rides_compaction_and_appends(spark, tmp_path):
+    """url addressing must survive the index lifecycle: compaction carries
+    the doc map (minus tombstones), appends extend it per batch, and
+    reconcile folds the union into the new version."""
+    from dlkp_spark.corpus import generate_web_pages
+    from dlkp_spark.index.build import prepare_docs
+    from dlkp_spark.index.snapshots import _snapshot_docmap
+
+    t = str(tmp_path / "lifecycle")
+    docs = prepare_docs(generate_web_pages(spark, 120, seed=21), n_docs=120)
+    cfg = IndexConfig(segment_docs=32, block_size=16, n_term_partitions=4)
+    sn.commit_build(spark, docs, t, cfg=cfg, n_shards=1, n_docs=120)
+
+    # delete 40 docs by id, compact: the carried map drops exactly those
+    sn.commit_delete(spark, t, range(0, 40))
+    sn.commit_compact(spark, t, factor=2, cfg=cfg, n_shards=1)
+    dm = _snapshot_docmap(spark, t, sn.current_snapshot(t))
+    assert dm.count() == 80 and dm.filter("doc_id < 40").count() == 0
+    hits = sn.snapshot_topk(spark, t, [(0, ["w0004"])], BM25Params(), k=5)
+    res = sn.resolve_urls(spark, t, hits).collect()
+    assert res and all(r.url.startswith("https://site") for r in res)
+
+    # append a batch: its doc map extends the snapshot's union
+    snap = sn.commit_append(spark, generate_web_pages(spark, 30, seed=22),
+                            t, cfg=cfg)
+    dm2 = _snapshot_docmap(spark, t, snap)
+    assert dm2.count() == 80 + 30
+    appended_url = dm2.filter("doc_id >= 120").limit(1).collect()[0]["url"]
+
+    # delete an APPENDED doc by url — resolvable only via the batch map
+    s_del = sn.commit_delete(spark, t, urls=[appended_url])
+    assert s_del["metrics"]["tombstones_total"] == 1
+
+    # reconcile folds the union docmap into the fresh version dir
+    sn.commit_reconcile(spark, t, cfg=cfg, n_shards=1)
+    import os
+    vdir = sn.index_dir_of(t)
+    assert os.path.isdir(os.path.join(vdir, "docmap"))
+    dm3 = _snapshot_docmap(spark, t, sn.current_snapshot(t))
+    assert dm3.count() == 110
+    hits3 = sn.snapshot_topk(spark, t, [(0, ["w0004"])], BM25Params(), k=5)
+    assert sn.resolve_urls(spark, t, hits3).count() == 5
