@@ -434,6 +434,38 @@ SQL_BM25_BOOSTED = "\nUNION ALL\n".join(
     for qid, terms in BOOST_QUERIES)
 
 
+def q_facet_counts(spark, sf_dir):
+    """Lucene-style facet counts (round 5): per query, how many MATCHING
+    docs (OR semantics — any query term) carry each value of an attribute,
+    computed entirely from the attr-postings sidecar (sorted doc-list
+    intersections per segment; counts are additive across doc-range
+    segments, so the global answer is a plain sum — no doc rows ship)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import facet_counts
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"), "lang")
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("facetidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("lang",))
+    return facet_counts(spark, d, BATCH_QUERIES, "lang")
+
+
+SQL_FACET_COUNTS = "\nUNION ALL\n".join(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, d.lang AS value,
+       count(DISTINCT t.doc_id) AS n_docs
+FROM (
+  SELECT doc_id, tt.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS tt(term)
+) t
+JOIN documents d USING (doc_id)
+WHERE t.term IN ({", ".join(f"'{x}'" for x in sorted(set(terms)))})
+GROUP BY d.lang
+""" for qid, terms in BATCH_QUERIES)
+
+
 SNIPPET_WINDOW = 5
 
 
@@ -2456,6 +2488,7 @@ QUERIES = {
     "bm25_deleted": (q_bm25_deleted, SQL_BM25_DELETED),
     "bm25_snippets": (q_bm25_snippets, SQL_BM25_SNIPPETS),
     "bm25_boosted": (q_bm25_boosted, SQL_BM25_BOOSTED),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),

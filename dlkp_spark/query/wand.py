@@ -879,6 +879,81 @@ def prefix_topk(
                       postings=postings, **topk_kw)
 
 
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    attr: str,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Facet counts: per query, how many MATCHING docs carry each value of
+    ``attr`` (Lucene faceting) → (query_id, value, n_docs).
+
+    A doc matches when it contains any query term (either field — OR
+    semantics, the same match set batch_topk ranks). Per segment, the
+    kernel unions the query's decoded doc lists and intersects each attr
+    value's doc list (both sorted — one searchsorted per value); doc-range
+    segmentation makes counts additive across segments, so the global
+    count is a plain sum. No posting is scored and no doc row ships —
+    only (query, value, count) triples leave each kernel.
+
+    Requires ``build_index(..., attrs=(..., attr, ...))``.
+    """
+    stats_all = load_stats(index_dir)
+    if attr not in stats_all.get("attrs", []):
+        raise ValueError(
+            f"index at {index_dir} has no attribute postings for '{attr}'; "
+            f"built with attrs={stats_all.get('attrs', [])}")
+    qmap = [(int(qid), sorted({t.partition('^')[0] for t in terms}))
+            for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id long, value string, n_docs long")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    flt = (load_attrs(spark, index_dir).filter(F.col("attr") == attr)
+           .groupBy("segment")
+           .agg(F.collect_list(F.struct("value", "docs_vb")).alias("vals")))
+    hits = (postings.select("term", "segment", "docs_vb")
+            .join(F.broadcast(t_df), "term")
+            .join(flt, "segment"))
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["vals"].iloc[0]
+        value_docs = [(r["value"],
+                       delta_decode(varbyte_decode(r["docs_vb"])
+                                    .astype(np.int64))) for r in vals]
+        by_term: dict[str, list[np.ndarray]] = {}
+        for i in range(len(g)):
+            ids = delta_decode(
+                varbyte_decode(g["docs_vb"].iloc[i]).astype(np.int64))
+            by_term.setdefault(g["term"].iloc[i], []).append(ids)
+        qids, values, counts = [], [], []
+        for qid, terms in qmap:
+            lists = [ids for t in terms for ids in by_term.get(t, [])]
+            if not lists:
+                continue
+            matched = lists[0] if len(lists) == 1 else \
+                np.unique(np.concatenate(lists))
+            for v, ids in value_docs:
+                idx = np.searchsorted(ids, matched)
+                n = int(((idx < len(ids))
+                         & (ids[np.minimum(idx, len(ids) - 1)] == matched)).sum())
+                if n:
+                    qids.append(qid)
+                    values.append(v)
+                    counts.append(n)
+        return pd.DataFrame({"query_id": pd.Series(qids, dtype="int64"),
+                             "value": pd.Series(values, dtype="object"),
+                             "n_docs": pd.Series(counts, dtype="int64")})
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, value string, n_docs long")
+    return (partials.groupBy("query_id", "value")
+            .agg(F.sum("n_docs").alias("n_docs")))
+
+
 def two_wave_pair_counts(
     spark: SparkSession,
     index_dir: str,

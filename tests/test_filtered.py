@@ -217,3 +217,24 @@ def test_compaction_carries_attr_postings(spark, tmp_path):
     rows = load_attrs(spark, sn.index_dir_of(t)).collect()
     lang_total = sum(r["n_docs"] for r in rows if r["attr"] == "lang")
     assert lang_total == 200
+
+
+def test_facet_counts_match_brute_force(spark, attr_index):
+    from dlkp_spark.query.wand import facet_counts
+
+    d, meta, scores = attr_index
+    toks = None  # matched set == docs with any query term == scored docs
+    for attr, col in (("lang", 0), ("site", 1)):
+        got = {(r.query_id, r.value): r.n_docs
+               for r in facet_counts(spark, d, QUERIES, attr).collect()}
+        want: dict = {}
+        for (q, did) in scores:
+            v = meta[did][col]
+            want[(q, v)] = want.get((q, v), 0) + 1
+        assert got == want, attr
+    # boost syntax is stripped for matching ("term^2" matches like "term")
+    a = facet_counts(spark, d, [(0, ["w001^2", "w002"])], "lang").collect()
+    b = facet_counts(spark, d, [(0, ["w001", "w002"])], "lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="no attribute postings"):
+        facet_counts(spark, d, QUERIES, "nope")
