@@ -434,6 +434,69 @@ SQL_BM25_BOOSTED = "\nUNION ALL\n".join(
     for qid, terms in BOOST_QUERIES)
 
 
+MLT_DOCS = [0, 7, 42]
+
+
+def _mlt_sql(src: int, k: int, n_terms: int) -> str:
+    """MoreLikeThis oracle: term selection by tf × BM25-idf (ties
+    term-asc), then plain BM25 over the selected terms with the source
+    doc excluded — the same two stages the engine runs."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+mlt AS (
+  SELECT term FROM (
+    SELECT s.term,
+           row_number() OVER (
+             ORDER BY s.tf * ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) DESC,
+                      s.term) AS rn
+    FROM tf s JOIN dfs USING (term) CROSS JOIN st
+    WHERE s.doc_id = {src}
+  ) WHERE rn <= {n_terms}
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN mlt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.doc_id != {src}
+  GROUP BY tf.doc_id
+)
+SELECT CAST({src} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis (round 5): per source doc, the 5 most
+    distinctive body terms by tf × BM25-idf (idf from the index's posting
+    metadata, selection driver-side on tiny inputs with the scalar-libm
+    idf so picked terms bit-match the oracle) run as an OR query through
+    the distributed batch path; the source is excluded with ranks closed
+    up."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import more_like_this
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("mltidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (more_like_this(spark, d, docs, MLT_DOCS, BM25Params(), k=5,
+                           n_terms=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_MORE_LIKE_THIS = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_mlt_sql(src, 5, 5)})" for src in MLT_DOCS)
+
+
 def q_facet_counts(spark, sf_dir):
     """Lucene-style facet counts (round 5): per query, how many MATCHING
     docs (OR semantics — any query term) carry each value of an attribute,
@@ -2489,6 +2552,7 @@ QUERIES = {
     "bm25_snippets": (q_bm25_snippets, SQL_BM25_SNIPPETS),
     "bm25_boosted": (q_bm25_boosted, SQL_BM25_BOOSTED),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),

@@ -954,6 +954,73 @@ def facet_counts(
             .agg(F.sum("n_docs").alias("n_docs")))
 
 
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    doc_ids: list[int],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    n_terms: int = 5,
+    **topk_kw,
+) -> DataFrame:
+    """Lucene MoreLikeThis: find docs similar to the given ones.
+
+    Per source doc, its ``n_terms`` most distinctive BODY terms by
+    tf × idf (idf = the index's own BM25 idf from posting metadata — the
+    same quantity the ranking uses; ties term-asc) form an OR query
+    through ``batch_topk``; the source doc is excluded from its own
+    results, with ranks closed up. → (query_id=source doc_id, rank,
+    doc_id, score).
+
+    The term-selection inputs are tiny (|doc_ids| docs × their vocab, and
+    df metadata for just those terms), so selection runs driver-side with
+    the scalar-libm idf — keeping the picked terms bit-consistent with
+    the SQL oracle; everything that scales (the search) stays the
+    distributed batch path. Extra kwargs pass through to ``batch_topk``.
+    """
+    from dlkp_spark.config import FIELD_BODY
+
+    p = p or BM25Params()
+    k = k or p.k
+    stats = load_stats(index_dir)
+    ids = [int(d) for d in doc_ids]
+    src = (docs.filter(F.col("doc_id").isin(ids))
+           .select("doc_id", F.explode("tokens").alias("term"))
+           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+           .collect())
+    terms_needed = sorted({r["term"] for r in src})
+    dfs = {r["term"]: int(r["df"]) for r in
+           (load_postings(spark, index_dir)
+            .filter((F.col("field") == FIELD_BODY)
+                    & F.col("term").isin(terms_needed))
+            .select("term", "df").distinct().collect())}
+    by_doc: dict[int, list] = {}
+    for r in src:
+        by_doc.setdefault(int(r["doc_id"]), []).append((r["term"], int(r["tf"])))
+    queries = []
+    for d in ids:
+        scored = sorted(
+            (-(tf * idf_fn(stats["n_docs"], dfs[t])), t)
+            for t, tf in by_doc.get(d, []) if t in dfs)
+        qterms = [t for _, t in scored[:n_terms]]
+        if qterms:
+            queries.append((d, qterms))
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    # k+1 then drop the source: it can occupy at most one slot, so the
+    # exclusion happens before the FINAL truncation — no similar doc is
+    # ever displaced by the source itself
+    hits = batch_topk(spark, index_dir, queries, p, k + 1, **topk_kw)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (hits.filter(F.col("doc_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def two_wave_pair_counts(
     spark: SparkSession,
     index_dir: str,
