@@ -434,6 +434,53 @@ SQL_BM25_BOOSTED = "\nUNION ALL\n".join(
     for qid, terms in BOOST_QUERIES)
 
 
+EXPLAIN_DOCS = [1, 2, 3, 5, 8, 13, 21, 34]
+
+
+def q_explain_scores(spark, sf_dir):
+    """Lucene-style explain (round 5): the per-(query, doc, term) score
+    breakdown for chosen docs, straight from the decoded posting lists —
+    Σ contribution over a (query, doc) is exactly the batch_topk score.
+    Only the segments covering the requested doc ids are read."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import explain_scores
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("explidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (explain_scores(spark, d, BATCH_QUERIES, EXPLAIN_DOCS, BM25Params())
+            .withColumn("contribution", F.round("contribution", 9)))
+
+
+SQL_EXPLAIN = "\nUNION ALL\n".join(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, tf.doc_id, tf.term,
+       0 AS field, tf.tf, dfs.df,
+       round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 9)
+       AS contribution
+FROM (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  ) GROUP BY 1, 2
+) tf
+JOIN (SELECT term, count(*) AS df FROM (
+    SELECT doc_id, term, count(*) FROM (
+      SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+    ) GROUP BY 1, 2) GROUP BY term) dfs USING (term)
+JOIN (SELECT doc_id, count(*) AS dl FROM (
+    SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  ) GROUP BY 1) dl USING (doc_id)
+CROSS JOIN (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM (
+    SELECT doc_id, count(*) AS dl FROM (
+      SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+    ) GROUP BY 1)) st
+WHERE tf.term IN ({", ".join(f"'{x}'" for x in sorted(set(terms)))})
+  AND tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
+""" for qid, terms in BATCH_QUERIES)
+
+
 MLT_DOCS = [0, 7, 42]
 
 
@@ -2553,6 +2600,7 @@ QUERIES = {
     "bm25_boosted": (q_bm25_boosted, SQL_BM25_BOOSTED),
     "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
+    "explain_scores": (q_explain_scores, SQL_EXPLAIN),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),

@@ -1021,6 +1021,81 @@ def more_like_this(
             .select("query_id", "rank", "doc_id", "score"))
 
 
+def explain_scores(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    doc_ids: list[int],
+    p: BM25Params | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene ``explain``: the per-(query, doc, term, field) score
+    breakdown for the given docs → (query_id, doc_id, term, field, tf,
+    df, contribution), where Σ contribution over a (query, doc) is exactly
+    that doc's ``batch_topk`` score (same decode, same float expressions).
+
+    Only the doc-range segments covering ``doc_ids`` are touched (segment
+    = doc_id // segment_docs prunes at the scan), so explaining a handful
+    of hits reads a handful of posting rows regardless of index size.
+    """
+    p = p or BM25Params()
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    seg_docs = int(stats_all.get("segment_docs") or 0)
+    if not seg_docs:
+        raise ValueError(f"{index_dir}: stats.json has no segment_docs")
+    wanted = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+    qmap = [(int(qid), sorted({t.partition("^")[0] for t in terms}))
+            for qid, terms in queries]
+    all_terms = sorted({t for _, ts in qmap for t in ts})
+    schema = ("query_id long, doc_id long, term string, field int, "
+              "tf long, df long, contribution double")
+    if not all_terms or not len(wanted):
+        return spark.createDataFrame([], schema)
+    segs = sorted({int(d) // seg_docs for d in wanted})
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    hits = (postings.filter(F.col("segment").isin(segs))
+            .join(F.broadcast(t_df), "term"))
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        lists = _decode_group(g, stats, p)
+        # tf values ride along for the breakdown (decode again is cheap
+        # here — explain touches a handful of rows)
+        tfs = [decode_postings_batch([g["docs_vb"].iloc[i]],
+                                     [g["tfs_vb"].iloc[i]],
+                                     [g["dls_vb"].iloc[i]])[1]
+               for i in range(len(g))]
+        dfv = g["df"].to_numpy()
+        out = {k: [] for k in ("query_id", "doc_id", "term", "field",
+                               "tf", "df", "contribution")}
+        for qid, terms in qmap:
+            for i, lst in enumerate(lists):
+                if lst["term"] not in terms:
+                    continue
+                mask = np.isin(lst["docs"], wanted)
+                if not mask.any():
+                    continue
+                contrib = lst["boost"] * lst["contribs"][mask]
+                for d, t_, c in zip(lst["docs"][mask],
+                                    tfs[i][np.flatnonzero(mask)], contrib):
+                    out["query_id"].append(qid)
+                    out["doc_id"].append(int(d))
+                    out["term"].append(lst["term"])
+                    out["field"].append(lst["field"])
+                    out["tf"].append(int(t_))
+                    out["df"].append(int(dfv[i]))
+                    out["contribution"].append(float(c))
+        return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame(
+            {k: pd.Series([], dtype=dt) for k, dt in
+             [("query_id", "int64"), ("doc_id", "int64"), ("term", "object"),
+              ("field", "int32"), ("tf", "int64"), ("df", "int64"),
+              ("contribution", "float64")]})
+
+    return hits.groupBy("segment").applyInPandas(kernel, schema)
+
+
 def two_wave_pair_counts(
     spark: SparkSession,
     index_dir: str,

@@ -73,3 +73,37 @@ def test_mlt_composes_with_deletes(spark, built):
 def test_mlt_unknown_doc_is_empty(spark, built):
     d, docs, _ = built
     assert more_like_this(spark, d, docs, [99999], BM25Params(), k=5).count() == 0
+
+
+def test_explain_contributions_sum_to_batch_scores(spark, built):
+    """Σ contribution over a (query, doc) == the batch_topk score for that
+    doc, bit-for-bit when summed in the kernel's (term, field) order."""
+    from dlkp_spark.query.wand import explain_scores
+
+    d, docs, _ = built
+    queries = [(0, ["w001", "w002"]), (1, ["w010", "w011", "w012"])]
+    hits = batch_topk(spark, d, queries, BM25Params(), k=6).collect()
+    doc_ids = sorted({r.doc_id for r in hits})
+    rows = explain_scores(spark, d, queries, doc_ids, BM25Params()).collect()
+    by_qd: dict = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.doc_id, r.term, r.field)):
+        by_qd.setdefault((r.query_id, r.doc_id), []).append(r.contribution)
+    for h in hits:
+        contribs = by_qd[(h.query_id, h.doc_id)]
+        s = 0.0
+        for c in contribs:
+            s += c
+        assert s == h.score, (h, contribs)
+
+
+def test_explain_prunes_to_wanted_segments(spark, built):
+    from dlkp_spark.query.wand import explain_scores
+
+    d, docs, toks_by = built
+    rows = explain_scores(spark, d, [(0, ["w001"])], [7], BM25Params()).collect()
+    assert all(r.doc_id == 7 for r in rows)
+    want_tf = toks_by[7].count("w001")
+    if want_tf:
+        assert len(rows) == 1 and rows[0].tf == want_tf
+    else:
+        assert rows == []
