@@ -833,6 +833,128 @@ SQL_BM25_PREFIX = "\nUNION ALL\n".join(
     for qid, pre in PREFIX_QUERIES)
 
 
+# max_edits=2, prefix_len=1 on the corpus vocabulary: "qery"→{query},
+# "merg"/"slw"→{merge}∪{slow} (multi-source union), "sart"→{sort, spark}
+# (multi-term expansion), "zzznothere"→∅ (empty on both sides)
+FUZZY_QUERIES = [(0, ["qery"]), (1, ["merg", "slw"]), (2, ["sart"]),
+                 (3, ["zzznothere"])]
+FUZZY_EDITS, FUZZY_PREFIX = 2, 1
+
+
+def _fuzzy_sql(srcs: list[str], k: int, qid: int) -> str:
+    """Fuzzy-query oracle: the query term set is every distinct corpus
+    token within levenshtein <= max_edits of any source term, sharing its
+    first prefix_len chars; scoring is the plain per-term BM25 sum (the
+    same rewrite contract as the prefix oracle)."""
+    match = " OR ".join(
+        f"(substring(term, 1, {FUZZY_PREFIX}) = "
+        f"substring('{s}', 1, {FUZZY_PREFIX}) "
+        f"AND levenshtein(term, '{s}') <= {FUZZY_EDITS})" for s in srcs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT DISTINCT term FROM toks WHERE {match}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """Fuzzy (FuzzyQuery) top-k (round 5): each misspelled term expands
+    against the index term dictionary via JVM-side levenshtein with a
+    shared-prefix gate (StartsWith pushes to the metadata scan) and
+    scores as a multi-term OR through the batch kernel. Exercises
+    multi-source union, multi-term expansion, and an OOV no-match."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import fuzzy_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("fuzzyidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (fuzzy_topk(spark, d, FUZZY_QUERIES, BM25Params(), k=5,
+                       max_edits=FUZZY_EDITS, prefix_len=FUZZY_PREFIX)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_FUZZY = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_fuzzy_sql(srcs, 5, qid)})"
+    for qid, srcs in FUZZY_QUERIES)
+
+
+MATCH_COUNT_MM2_OFFSET = 10
+
+
+def _match_count_sql(terms: list[str], qid: int, min_match: int) -> str:
+    """Total-hit-count oracle: distinct docs containing >= min_match
+    distinct query terms; zero-count queries emit no row (engine
+    contract)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    if min_match == 1:
+        return f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, t.term
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)) toks
+WHERE term IN ({term_list})
+HAVING count(DISTINCT doc_id) > 0
+"""
+    return f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, count(*) AS n_docs
+FROM (
+  SELECT doc_id
+  FROM (SELECT doc_id, t.term
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)) toks
+  WHERE term IN ({term_list})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) >= {min_match}
+)
+HAVING count(*) > 0
+"""
+
+
+def q_match_counts(spark, sf_dir):
+    """Total hit counts (round 5, Lucene TotalHitCountCollector): per
+    query, the number of matching docs — no scoring, only doc-id blobs
+    decoded, counts additive across doc-range segments. Exercises OR
+    counts (incl. a query with an OOV term) and the >= 2-of-n
+    minimum-should-match generalization (query ids offset by 10)."""
+    from dlkp_spark.index.build import build_index, load_postings
+    from dlkp_spark.query.wand import match_counts
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("matchcidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    postings = load_postings(spark, d)
+    m1 = match_counts(spark, d, CONJ_QUERIES, postings=postings)
+    m2 = (match_counts(spark, d, BATCH_QUERIES, min_match=2,
+                       postings=postings)
+          .withColumn("query_id",
+                      F.col("query_id") + F.lit(MATCH_COUNT_MM2_OFFSET)))
+    return m1.unionByName(m2)
+
+
+SQL_MATCH_COUNTS = "\nUNION ALL\n".join(
+    [_match_count_sql(terms, qid, 1) for qid, terms in CONJ_QUERIES]
+    + [_match_count_sql(terms, qid + MATCH_COUNT_MM2_OFFSET, 2)
+       for qid, terms in BATCH_QUERIES])
+
+
 def q_kp_seed_hits(spark, sf_dir):
     t = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
     return (t.filter(F.col("term").isin(KP_SEEDS))
@@ -2604,6 +2726,8 @@ QUERIES = {
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
+    "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
+    "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),
     "kp_bigram_candidates": (q_kp_bigram_candidates, SQL_KP_BIGRAM_CANDIDATES),

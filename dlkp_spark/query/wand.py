@@ -879,6 +879,149 @@ def prefix_topk(
                       postings=postings, **topk_kw)
 
 
+def fuzzy_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_expansion: int = 1024,
+    postings: DataFrame | None = None,
+    **topk_kw,
+) -> DataFrame:
+    """Fuzzy (Lucene FuzzyQuery) top-k: each query term expands to every
+    index term within Levenshtein distance ``max_edits`` that shares its
+    first ``prefix_len`` characters, then scores as a multi-term OR
+    through the regular batch kernel — each matched term keeps its own
+    idf, identical to running the expanded term list by hand (the same
+    rewrite contract as ``prefix_topk``; Lucene's blended-frequency
+    rewrite is a scoring variation we deliberately skip so the expansion
+    stays bit-replayable by the SQL oracle).
+
+    Expansion runs against the INDEX's term dictionary entirely JVM-side:
+    one distinct projection over posting metadata (no blob decodes), a
+    StartsWith prefix gate that reaches the parquet scan (Lucene requires
+    the same non-zero prefix for exactly this reason — at web scale the
+    dictionary is huge and an unanchored edit-distance sweep reads all of
+    it), and Spark's built-in ``levenshtein(term, src, threshold)`` with
+    the early-exit threshold. ``max_expansion`` guards runaway expansions
+    the way Lucene's maxClauseCount does. A query term always matches
+    itself (distance 0) when indexed.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    if max_edits < 0 or prefix_len < 0:
+        raise ValueError("max_edits and prefix_len must be >= 0")
+    qmap = [(int(qid), sorted({str(t) for t in terms}))
+            for qid, terms in queries]
+    srcs = sorted({t for _, terms in qmap for t in terms})
+    if not srcs:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    src_df = spark.createDataFrame([(s,) for s in srcs], "src string")
+    vocab = postings.select("term").distinct()
+    if prefix_len > 0:
+        cond = None
+        for pre in sorted({s[:prefix_len] for s in srcs}):
+            c = F.col("term").startswith(pre)
+            cond = c if cond is None else (cond | c)
+        vocab = vocab.filter(cond)
+    join_cond = F.levenshtein(F.col("term"), F.col("src"), max_edits) >= 0
+    if prefix_len > 0:
+        join_cond = join_cond & (
+            F.substring("term", 1, prefix_len) == F.substring("src", 1, prefix_len))
+    matched = (vocab.join(F.broadcast(src_df), join_cond)
+               .select("src", "term").collect())
+    expanded: dict[str, list[str]] = {s: [] for s in srcs}
+    for r in matched:
+        expanded[r["src"]].append(r["term"])
+    for s, terms in expanded.items():
+        if len(terms) > max_expansion:
+            raise ValueError(
+                f"fuzzy '{s}'~{max_edits} expands to {len(terms)} terms "
+                f"(> max_expansion={max_expansion}) — raise prefix_len, "
+                "lower max_edits, or raise the cap")
+    term_queries = [
+        (qid, sorted({t for s in terms for t in expanded[s]}))
+        for qid, terms in qmap]
+    term_queries = [(qid, ts) for qid, ts in term_queries if ts]
+    if not term_queries:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    return batch_topk(spark, index_dir, term_queries, p, k=k,
+                      postings=postings, **topk_kw)
+
+
+def match_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    min_match: int = 1,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Total hit counts (Lucene TotalHitCountCollector): per query, how
+    many docs match — i.e. contain at least ``min_match`` distinct query
+    terms in either field → (query_id, n_docs).
+
+    Counting never scores: the kernel decodes only each matched posting
+    row's doc-id blob (tf/doclen blobs stay untouched), unions per-term
+    across fields, and for min_match=1 unions across terms; doc-range
+    segmentation makes per-segment counts additive, so the global count
+    is a plain sum and only (query, count) pairs leave each kernel. At
+    10^12 docs this is the cheapest possible full-match statistic: no
+    accumulator, no heap, no tf decode.
+    """
+    if min_match < 1:
+        raise ValueError("min_match must be >= 1")
+    qmap = [(int(qid), sorted({t.partition("^")[0] for t in terms}))
+            for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id long, n_docs long")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    hits = (postings.select("term", "segment", "docs_vb")
+            .join(F.broadcast(t_df), "term"))
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, np.ndarray] = {}
+        for i in range(len(g)):
+            ids = delta_decode(
+                varbyte_decode(g["docs_vb"].iloc[i]).astype(np.int64))
+            t = g["term"].iloc[i]
+            prev = by_term.get(t)
+            # union the term's field lists: a doc matching in either
+            # field counts once for that term
+            by_term[t] = ids if prev is None else np.union1d(prev, ids)
+        qids, counts = [], []
+        for qid, terms in qmap:
+            lists = [by_term[t] for t in terms if t in by_term]
+            if not lists:
+                continue
+            if min_match == 1:
+                n = len(lists[0]) if len(lists) == 1 else \
+                    len(np.unique(np.concatenate(lists)))
+            else:
+                allv = np.concatenate(lists)
+                uniq, cnt = np.unique(allv, return_counts=True)
+                n = int((cnt >= min(min_match, len(terms))).sum())
+            if n:
+                qids.append(qid)
+                counts.append(n)
+        return pd.DataFrame({"query_id": pd.Series(qids, dtype="int64"),
+                             "n_docs": pd.Series(counts, dtype="int64")})
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, n_docs long")
+    return (partials.groupBy("query_id")
+            .agg(F.sum("n_docs").alias("n_docs")))
+
+
 def facet_counts(
     spark: SparkSession,
     index_dir: str,
