@@ -896,6 +896,128 @@ SQL_BM25_FUZZY = "\nUNION ALL\n".join(
     for qid, srcs in FUZZY_QUERIES)
 
 
+# "s?an"→{scan}; "*ow"→{slow, window} (leading wildcard, multi-term);
+# "qu*y"→{query}; "zz*"→∅
+WILDCARD_QUERIES = [(0, "s?an"), (1, "*ow"), (2, "qu*y"), (3, "zz*")]
+
+
+def _wildcard_sql(pattern: str, k: int, qid: int) -> str:
+    """Wildcard-query oracle: the query term set is every distinct corpus
+    token fully matching the translated regex; scoring is the plain
+    per-term BM25 sum (same rewrite contract as the prefix oracle)."""
+    from dlkp_spark.query.wand import _wildcard_regex
+
+    rx = _wildcard_regex(pattern)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT DISTINCT term FROM toks WHERE regexp_full_match(term, '{rx}')),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_wildcard(spark, sf_dir):
+    """Wildcard top-k (round 5): ``*``/``?`` patterns expand against the
+    index term dictionary (anchored rlike; a literal prefix still prunes
+    the scan) and score as a multi-term OR through the batch kernel.
+    Exercises a leading wildcard (multi-term expansion) and a no-match
+    pattern (empty on both sides)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import wildcard_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("wildidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (wildcard_topk(spark, d, WILDCARD_QUERIES, BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_WILDCARD = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_wildcard_sql(pat, 5, qid)})"
+    for qid, pat in WILDCARD_QUERIES)
+
+
+# clause = plain term or synonym group (Lucene SynonymQuery blending:
+# tf summed across members, idf from the group's max df)
+SYN_QUERIES = [
+    (0, [["query", "scan"], "data"]),      # group + plain term
+    (1, [["merge", "slow", "zzznothere"]]),  # OOV member is ignored
+    (2, [["spark", "stream"], ["hash", "sort"]]),  # two groups
+    (3, [["zzza", "zzzb"]]),               # all-OOV clause → empty
+]
+
+
+def _synonym_sql(clauses: list, k: int, qid: int) -> str:
+    """SynonymQuery oracle: per clause, tf = Σ member tfs per doc and
+    df = max member df; per-doc score = Σ clause contributions."""
+    parts = []
+    for cl in clauses:
+        members = [cl] if isinstance(cl, str) else sorted(set(cl))
+        mlist = ", ".join(f"'{t}'" for t in members)
+        parts.append(f"""
+  SELECT s.doc_id,
+         ln(1.0 + (st.n_docs - dm.df + 0.5) / (dm.df + 0.5))
+           * (s.tf * 2.2) / (s.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS contrib
+  FROM (SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ({mlist}) GROUP BY doc_id) s
+  JOIN dl ON dl.doc_id = s.doc_id CROSS JOIN st
+  CROSS JOIN (SELECT max(df) AS df FROM dfs WHERE term IN ({mlist})) dm
+  WHERE dm.df IS NOT NULL""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id, sum(contrib) AS score FROM ({union}) GROUP BY doc_id)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_synonyms(spark, sf_dir):
+    """Synonym-blended top-k (round 5, Lucene SynonymQuery): a synonym
+    group scores as one pseudo-term — member tfs sum, idf comes from the
+    group's max df resolved globally from posting metadata — so matching
+    several members raises tf, not the clause count. Exercises
+    group+term mix, an ignored OOV member, two groups, and an all-OOV
+    clause (empty on both sides)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import synonym_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("synidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (synonym_topk(spark, d, SYN_QUERIES, BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_SYNONYMS = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_synonym_sql(clauses, 5, qid)})"
+    for qid, clauses in SYN_QUERIES)
+
+
 MATCH_COUNT_MM2_OFFSET = 10
 
 
@@ -2727,6 +2849,8 @@ QUERIES = {
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
+    "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),
+    "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),
     "kp_seed_hits": (q_kp_seed_hits, SQL_KP_SEED_HITS),

@@ -879,6 +879,226 @@ def prefix_topk(
                       postings=postings, **topk_kw)
 
 
+def _wildcard_regex(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern (``*`` = any run, ``?`` = one
+    char) to an anchored regex understood identically by Spark's rlike
+    and DuckDB's regexp_full_match — all other chars are escaped
+    literally."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    max_expansion: int = 1024,
+    postings: DataFrame | None = None,
+    **topk_kw,
+) -> DataFrame:
+    """Wildcard (Lucene WildcardQuery) top-k: each pattern (``*`` = any
+    run, ``?`` = exactly one char) expands against the index's term
+    dictionary and scores as a multi-term OR through the batch kernel —
+    the same rewrite contract as ``prefix_topk`` (per-expanded-term idf).
+
+    Expansion is one distinct projection over posting metadata filtered
+    with an anchored ``rlike`` (JVM regex; a leading literal prefix still
+    lets the scan skip non-matching row groups via the OR of StartsWith
+    prefixes below). ``max_expansion`` guards runaway patterns like
+    Lucene's maxClauseCount. Leading-wildcard patterns are allowed but,
+    as in Lucene, scan the whole dictionary — prefer an anchored prefix.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    qmap = [(int(qid), str(pat)) for qid, pat in queries]
+    pats = sorted({pat for _, pat in qmap})
+    if not pats:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    vocab = postings.select("term").distinct()
+    # literal prefix (chars before the first wildcard) prunes the scan
+    pre_cond = None
+    for pat in pats:
+        cut = min([i for i, c in enumerate(pat) if c in "*?"] + [len(pat)])
+        c = F.col("term").startswith(pat[:cut]) if cut else F.lit(True)
+        pre_cond = c if pre_cond is None else (pre_cond | c)
+    rx_cond = None
+    for pat in pats:
+        c = F.col("term").rlike(f"^{_wildcard_regex(pat)}$")
+        rx_cond = c if rx_cond is None else (rx_cond | c)
+    matched = [r["term"] for r in
+               vocab.filter(pre_cond & rx_cond).collect()]
+    import re as _re
+
+    expanded: dict[str, list[str]] = {}
+    for pat in pats:
+        rx = _re.compile(f"^{_wildcard_regex(pat)}$")
+        terms = sorted(t for t in matched if rx.match(t))
+        if len(terms) > max_expansion:
+            raise ValueError(
+                f"wildcard '{pat}' expands to {len(terms)} terms "
+                f"(> max_expansion={max_expansion}) — narrow the pattern "
+                "or raise the cap")
+        expanded[pat] = terms
+    term_queries = [(qid, expanded[pat]) for qid, pat in qmap
+                    if expanded[pat]]
+    if not term_queries:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    return batch_topk(spark, index_dir, term_queries, p, k=k,
+                      postings=postings, **topk_kw)
+
+
+def synonym_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Synonym-aware top-k with Lucene SynonymQuery blending: each query
+    is a list of CLAUSES, a clause being a plain term or a list of
+    synonyms. A synonym group scores as ONE pseudo-term per field —
+    tf = Σ member tfs in the doc, idf from df = max member df (Lucene's
+    SynonymQuery docFreq rule: overlap between members is unknowable
+    from per-term stats, and max under-counts rather than over-counts) —
+    so a doc matching any member matches the clause, and matching several
+    members raises tf, not the number of matched clauses. A singleton
+    clause reduces exactly to the plain term query.
+
+    Per-clause df_max is resolved GLOBALLY from posting metadata before
+    the kernel (a member term may be absent from a given segment but
+    still carry the group's max df — per-segment resolution would score
+    the same doc differently depending on which segment it lives in).
+    The segment kernel merges member doc lists with one unique+scatter
+    pass per (clause, field) and accumulates clause contributions in
+    (clause index, field) order; docs are segment-disjoint so the global
+    top-k is the usual window merge. → (query_id, rank, doc_id, score).
+    """
+    from dlkp_spark.config import FIELD_BODY
+
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap: list[tuple[int, list[tuple[str, ...]]]] = []
+    for qid, clauses in queries:
+        norm = []
+        for cl in clauses:
+            members = (cl,) if isinstance(cl, str) else tuple(sorted(set(cl)))
+            norm.append(members)
+        qmap.append((int(qid), norm))
+    all_terms = sorted({t for _, cls in qmap for cl in cls for t in cl})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    # global per-(term, field) df from metadata — tiny (|terms| × 2 rows)
+    df_rows = (postings.select("term", "field", "df")
+               .join(F.broadcast(t_df), "term").distinct().collect())
+    term_df = {(r["term"], int(r["field"])): int(r["df"]) for r in df_rows}
+    fields = sorted({int(r["field"]) for r in df_rows}) or [FIELD_BODY]
+    # df_max per (clause, field), resolved once for the whole index
+    clause_df: dict[tuple[tuple[str, ...], int], int] = {}
+    for _, cls in qmap:
+        for cl in cls:
+            for f in fields:
+                dfs = [term_df[(t, f)] for t in cl if (t, f) in term_df]
+                if dfs:
+                    clause_df[(cl, f)] = max(dfs)
+
+    hits = postings.join(F.broadcast(t_df), "term")
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        docs_f, tfs_f, dls_f, counts = decode_postings_batch(
+            g["docs_vb"].tolist(), g["tfs_vb"].tolist(), g["dls_vb"].tolist())
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        entries: dict[tuple[str, int], tuple] = {}
+        for i in range(len(g)):
+            s, e = offsets[i], offsets[i + 1]
+            entries[(g["term"].iloc[i], int(g["field"].iloc[i]))] = (
+                docs_f[s:e], tfs_f[s:e], dls_f[s:e])
+        qids, dids, scores = [], [], []
+        for qid, cls in qmap:
+            q_lists = []
+            for cl in cls:  # clause order = query order (deterministic)
+                for f in fields:
+                    parts = [entries[(t, f)] for t in cl if (t, f) in entries]
+                    if not parts:
+                        continue
+                    if len(parts) == 1:
+                        u, tf_sum, dl_u = parts[0]
+                    else:
+                        docs = np.concatenate([pt[0] for pt in parts])
+                        tfs = np.concatenate([pt[1] for pt in parts])
+                        dls = np.concatenate([pt[2] for pt in parts])
+                        u, inv = np.unique(docs, return_inverse=True)
+                        tf_sum = np.zeros(len(u), dtype=np.int64)
+                        np.add.at(tf_sum, inv, tfs)
+                        # dl is a (doc, field) property — every member
+                        # carries the same value, any write wins
+                        dl_u = np.zeros(len(u), dtype=np.int64)
+                        dl_u[inv] = dls
+                    idf = idf_fn(stats["n_docs"], clause_df[(cl, f)])
+                    tff = tf_sum.astype(np.float64)
+                    dlf = dl_u.astype(np.float64)
+                    avgdl = stats["avgdl"][f]
+                    tfn = (tff * (p.k1 + 1.0)) / (
+                        tff + p.k1 * (1.0 - p.b + p.b * dlf / avgdl))
+                    q_lists.append({
+                        "docs": u, "contribs": idf * tfn,
+                        "boost": p.kp_boost if f == FIELD_KP else 1.0,
+                    })
+            for d, s in _taat_topk_lists_presorted(q_lists, k):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def _taat_topk_lists_presorted(q_lists: list[dict], k: int) -> list[tuple[int, float]]:
+    """`_taat_topk` accumulation over lists whose order the CALLER fixed
+    (clause order, not (term, field)) — synonym clauses have no term key."""
+    q_lists = [lst for lst in q_lists if len(lst["docs"])]
+    if not q_lists:
+        return []
+    docs = np.concatenate([lst["docs"] for lst in q_lists])
+    contribs = np.concatenate([lst["boost"] * lst["contribs"] for lst in q_lists])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, contribs)
+    order = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in order]
+
+
 def fuzzy_topk(
     spark: SparkSession,
     index_dir: str,
