@@ -1460,6 +1460,112 @@ GROUP BY keyphrase ORDER BY n_docs DESC, keyphrase LIMIT 100
 """
 
 
+DISMAX_TIE = 0.3  # non-degenerate: tie=1.0 is the sum combiner, 0.0 pure max
+
+
+def _dismax_sql(terms: list[str], k: int, qid: int) -> str:
+    """DisMax oracle over the RULED-TAGGED two-field corpus: the kp field
+    is replayed relationally (the SQL tag rule → BIO spans → per-doc
+    DISTINCT phrases → kp token stream), each field keeps its own
+    tf/df/dl/avgdl (docs without keyphrases contribute dl=0 to the kp
+    avgdl, matching the build), the kp contribution carries the 2.0 field
+    boost inside the disjunct, and per (doc, term) the fields combine as
+    GREATEST + tie × LEAST — summed across query terms."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH l AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM l, unnest(range(1, len(toks) + 1)) AS r(i)),
+bt AS (SELECT doc_id, pos, {_SQL_TAG_RULE.format(m=3)} AS tag FROM tok),
+lagged AS (
+  SELECT doc_id, pos, tag, lag(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM bt
+),
+flagged AS (
+  SELECT doc_id, pos, tag,
+    sum(CASE WHEN tag != 'O' AND (tag = 'B' OR prev IS NULL OR prev = 'O')
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) AS e FROM flagged
+  WHERE tag != 'O' GROUP BY doc_id, span_id
+),
+surf AS (
+  SELECT DISTINCT sp.doc_id, array_to_string(l.toks[sp.s:sp.e], ' ') AS keyphrase
+  FROM spans sp JOIN l USING (doc_id)
+),
+kp_toks AS (
+  SELECT doc_id, t.term FROM surf, unnest(string_split(keyphrase, ' ')) AS t(term)
+),
+n AS (SELECT count(*) AS n_docs FROM l),
+q AS (SELECT unnest([{term_list}]) AS term),
+tf_b AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl_b AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+avg_b AS (SELECT avg(dl) AS avgdl FROM dl_b),
+df_b AS (SELECT term, count(*) AS df FROM tf_b GROUP BY 1),
+tf_k AS (SELECT doc_id, term, count(*) AS tf FROM kp_toks GROUP BY 1, 2),
+dl_k AS (SELECT l.doc_id, coalesce(x.dl, 0) AS dl
+         FROM l LEFT JOIN (SELECT doc_id, count(*) AS dl FROM kp_toks GROUP BY 1) x
+         USING (doc_id)),
+avg_k AS (SELECT avg(dl) AS avgdl FROM dl_k),
+df_k AS (SELECT term, count(*) AS df FROM tf_k GROUP BY 1),
+cb AS (
+  SELECT tf_b.doc_id, tf_b.term,
+         ln(1.0 + (n.n_docs - df_b.df + 0.5) / (df_b.df + 0.5))
+           * (tf_b.tf * 2.2) / (tf_b.tf + 1.2 * (0.25 + 0.75 * dl_b.dl / avg_b.avgdl)) AS c
+  FROM tf_b JOIN q USING (term) JOIN df_b USING (term)
+       JOIN dl_b USING (doc_id) CROSS JOIN n CROSS JOIN avg_b
+),
+ck AS (
+  SELECT tf_k.doc_id, tf_k.term,
+         2.0 * (ln(1.0 + (n.n_docs - df_k.df + 0.5) / (df_k.df + 0.5))
+           * (tf_k.tf * 2.2) / (tf_k.tf + 1.2 * (0.25 + 0.75 * dk.dl / avg_k.avgdl))) AS c
+  FROM tf_k JOIN q USING (term) JOIN df_k USING (term)
+       JOIN dl_k dk ON dk.doc_id = tf_k.doc_id CROSS JOIN n CROSS JOIN avg_k
+),
+comb AS (
+  SELECT coalesce(cb.doc_id, ck.doc_id) AS doc_id,
+         CASE WHEN cb.c IS NULL THEN ck.c
+              WHEN ck.c IS NULL THEN cb.c
+              ELSE greatest(cb.c, ck.c) + {DISMAX_TIE} * least(cb.c, ck.c) END AS c
+  FROM cb FULL JOIN ck ON cb.doc_id = ck.doc_id AND cb.term = ck.term
+),
+sc AS (SELECT doc_id, sum(c) AS score FROM comb GROUP BY doc_id)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_dismax(spark, sf_dir):
+    """DisMax field combination (round 5, Lucene DisjunctionMaxQuery):
+    per query term, body and keyphrase contributions combine as
+    max + tie×min instead of the default sum. The index is built over the
+    RULED-TAGGED corpus (the SQL-expressible tagger), so this is the
+    first oracle entry exercising real two-field scoring end-to-end —
+    kp-field tf/df/avgdl, the 2.0 field boost inside the disjunct, and
+    the combiner all replay relationally."""
+    from dlkp_spark.analysis.keyphrase import with_keyphrases
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import dismax_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("tokens"))
+    docs = with_keyphrases(d, tagger=_ruled_tagger).drop("kp_scores")
+    idx = _staging_dir("dismaxidx_")
+    build_index(spark, docs, idx,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (dismax_topk(spark, idx, BATCH_QUERIES, BM25Params(), k=5,
+                        tie=DISMAX_TIE)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_DISMAX = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_dismax_sql(terms, 5, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 def q_generation_topk(spark, sf_dir):
     """Beam-generation stand-in (reference generator.py:42-89 + [KP_SEP]
     decode): deterministic top-3 candidate phrases per doc, KP_SEP-joined."""
@@ -2850,6 +2956,7 @@ QUERIES = {
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),
+    "bm25_dismax": (q_bm25_dismax, SQL_BM25_DISMAX),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

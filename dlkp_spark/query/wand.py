@@ -1084,6 +1084,97 @@ def synonym_topk(
             .select("query_id", "rank", "doc_id", "score"))
 
 
+def dismax_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    tie: float = 0.1,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """DisMax (Lucene DisjunctionMaxQuery) field combination: per query
+    term and doc, the body and keyphrase-field contributions combine as
+    ``max + tie × min`` instead of the default sum — the "best field
+    wins, others tie-break" semantics that stops a term matching weakly
+    in both fields from outranking a strong single-field match. Each
+    field keeps its own idf/avgdl and the kp field keeps its boost
+    (Lucene applies field boosts inside the disjuncts); tie=1.0 recovers
+    the default sum combiner exactly and tie=0.0 is pure max. Per-term
+    disjunct scores then sum across query terms (term-asc float order).
+    → (query_id, rank, doc_id, score).
+
+    Scale shape is identical to ``batch_topk``'s one-wave path: each
+    matched posting row ships and decodes once per segment, the combiner
+    is one union+scatter pass per (term, doc-overlap), and only k rows
+    per (query, segment) leave the kernel.
+    """
+    from dlkp_spark.config import FIELD_BODY
+
+    p = p or BM25Params()
+    k = k or p.k
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError(f"tie must be in [0, 1], got {tie}")
+    stats_all = load_stats(index_dir)
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap = [(int(qid), sorted({t.partition("^")[0] for t in terms}))
+            for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    hits = postings.join(F.broadcast(t_df), "term")
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        lists = _decode_group(g, stats, p)
+        by_tf: dict[tuple[str, int], dict] = {
+            (lst["term"], lst["field"]): lst for lst in lists
+            if len(lst["docs"])}
+        qids, dids, scores = [], [], []
+        for qid, terms in qmap:
+            q_lists = []
+            for t in terms:
+                fl = [by_tf[(t, f)] for f in (FIELD_BODY, FIELD_KP)
+                      if (t, f) in by_tf]
+                if not fl:
+                    continue
+                if len(fl) == 1:
+                    lst = fl[0]
+                    # a single disjunct IS the max; tie never applies
+                    q_lists.append({"docs": lst["docs"],
+                                    "contribs": lst["contribs"],
+                                    "boost": lst["boost"]})
+                    continue
+                b, kp = fl
+                u = np.union1d(b["docs"], kp["docs"])
+                cb = np.zeros(len(u), dtype=np.float64)
+                ck = np.zeros(len(u), dtype=np.float64)
+                cb[np.searchsorted(u, b["docs"])] = b["boost"] * b["contribs"]
+                ck[np.searchsorted(u, kp["docs"])] = kp["boost"] * kp["contribs"]
+                comb = np.maximum(cb, ck) + tie * np.minimum(cb, ck)
+                q_lists.append({"docs": u, "contribs": comb, "boost": 1.0})
+            for d, s in _taat_topk_lists_presorted(q_lists, k):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def _taat_topk_lists_presorted(q_lists: list[dict], k: int) -> list[tuple[int, float]]:
     """`_taat_topk` accumulation over lists whose order the CALLER fixed
     (clause order, not (term, field)) — synonym clauses have no term key."""
