@@ -238,7 +238,9 @@ def section_surface() -> tuple[dict, dict]:
     from dlkp_spark.index.build import build_index, prepare_docs
     from dlkp_spark.oracle import reference_query_set
     from dlkp_spark.query.phrase import phrase_topk
-    from dlkp_spark.query.wand import batch_topk, prefix_topk
+    from dlkp_spark.query.wand import (batch_topk, dismax_topk, fuzzy_topk,
+                                       match_counts, prefix_topk,
+                                       synonym_topk, wildcard_topk)
     from dlkp_spark.session import get_spark
 
     spark = get_spark("bench_surface", master=f"local[{CPUS}]",
@@ -278,6 +280,24 @@ def section_surface() -> tuple[dict, dict]:
     timings["deleted_200q"] = _best_of(spark,
         lambda: batch_topk(spark, idx, queries, p, k=10,
                            deletes=dels).count())
+    # round-5 session-2 surface: fuzzy/wildcard expansion, synonym blend,
+    # dismax combiner, total-hit counts — all over the same hot index
+    fuzzies = [(i, [t[:1] + t[2:] for t in terms])  # char-dropped typos
+               for i, terms in queries[:20]]
+    timings["fuzzy_20q"] = _best_of(spark,
+        lambda: fuzzy_topk(spark, idx, fuzzies, p, k=10,
+                           max_edits=1, prefix_len=1).count())
+    wilds = [(0, "w00*"), (1, "w01?"), (2, "*5"), (3, "w1*")]
+    timings["wildcard_4q"] = _best_of(spark,
+        lambda: wildcard_topk(spark, idx, wilds, p, k=10).count())
+    syns = [(i, [list(terms)] if len(terms) > 1 else list(terms))
+            for i, terms in queries[:50]]
+    timings["synonym_50q"] = _best_of(spark,
+        lambda: synonym_topk(spark, idx, syns, p, k=10).count())
+    timings["dismax_200q"] = _best_of(spark,
+        lambda: dismax_topk(spark, idx, queries, p, k=10, tie=0.3).count())
+    timings["match_counts_200q"] = _best_of(spark,
+        lambda: match_counts(spark, idx, queries).count())
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
     shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
     spark.stop()
