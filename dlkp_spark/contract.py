@@ -1460,6 +1460,123 @@ GROUP BY keyphrase ORDER BY n_docs DESC, keyphrase LIMIT 100
 """
 
 
+def _collapse_sql(terms: list[str], k: int, qid: int) -> str:
+    """Field-collapsing oracle: per query, BM25-score docs, keep the best
+    doc per ``source`` value, rank the survivors."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+),
+j AS (SELECT sc.doc_id, sc.score, d.source AS value
+      FROM sc JOIN documents d USING (doc_id)),
+best AS (
+  SELECT doc_id, score, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY value ORDER BY score DESC, doc_id) AS rn
+    FROM j
+  ) WHERE rn = 1
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id, value FROM (
+  SELECT doc_id, value, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM best
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_collapse(spark, sf_dir):
+    """Field collapsing (round 5, Lucene grouping / ES collapse): top-k
+    with at most one doc per ``source`` value — the "one result per
+    site" web-search shape. The kernel scores each segment once for all
+    queries, maps docs to values via the attribute sidecar, and emits
+    only per-value bests for the segment's top-k distinct values; the
+    oracle replays with a best-per-value window."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import collapse_topk
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"), "source")
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("collidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("source",))
+    return (collapse_topk(spark, d, BATCH_QUERIES, "source",
+                          BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id", "value"))
+
+
+SQL_BM25_COLLAPSE = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_collapse_sql(terms, 5, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
+SEARCH_AFTER_K = 5
+
+
+def _paged_sql(terms: list[str], k: int, qid: int) -> str:
+    """searchAfter oracle: page 2 = global ranks (k, 2k], renumbered from
+    1 — identical to paginating past page 1's exact (score, doc) cursor."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank - {k} AS rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank > {k} AND rank <= {2 * k}
+"""
+
+
+def q_bm25_search_after(spark, sf_dir):
+    """searchAfter pagination (round 5): page 1's exact (score, doc_id)
+    cursors feed page 2 — the kernel gates selection strictly after the
+    cursor in (score desc, doc asc) order, so page 2 equals global ranks
+    (k, 2k] renumbered, without a k×page heap. The oracle replays the
+    rank-window slice."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("pageidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    p1 = batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=SEARCH_AFTER_K)
+    cur = {int(r["query_id"]): (float(r["score"]), int(r["doc_id"]))
+           for r in p1.filter(F.col("rank") == SEARCH_AFTER_K).collect()}
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(),
+                       k=SEARCH_AFTER_K, after=cur)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_SEARCH_AFTER = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_paged_sql(terms, SEARCH_AFTER_K, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 DISMAX_TIE = 0.3  # non-degenerate: tie=1.0 is the sum combiner, 0.0 pure max
 
 
@@ -2957,6 +3074,8 @@ QUERIES = {
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),
     "bm25_dismax": (q_bm25_dismax, SQL_BM25_DISMAX),
+    "bm25_collapse": (q_bm25_collapse, SQL_BM25_COLLAPSE),
+    "bm25_search_after": (q_bm25_search_after, SQL_BM25_SEARCH_AFTER),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

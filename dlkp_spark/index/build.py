@@ -387,6 +387,10 @@ def build_attr_postings(spark: SparkSession, docs: DataFrame, index_dir: str,
             (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long").alias("segment"),
             "doc_id")
         rows = r if rows is None else rows.unionByName(r)
+    # a doc with a NULL attribute has no posting for it (Lucene
+    # missing-field semantics): filters can never match it, and
+    # collapse_topk routes it to the shared null group
+    rows = rows.filter(F.col("value").isNotNull())
     enc = (rows.repartition(cfg.n_term_partitions, "attr", "value", "segment")
            .sortWithinPartitions("attr", "value", "segment", "doc_id")
            .mapInPandas(_encode_attr_partition(), ATTRS_SCHEMA))

@@ -293,12 +293,17 @@ def wand_topk(
             .select("query_id", "rank", "doc_id", "score"))
 
 
-def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
+def _taat_topk(lists: list[dict], k: int,
+               cursor: tuple[float, int] | None = None) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time exact scoring for one query × segment.
 
     Lists must be sorted by (term, field); ``np.add.at`` then accumulates
     per-doc contributions in exactly the oracle's float order (term asc,
     body before kp), so scores stay bit-identical to the WAND/oracle paths.
+
+    ``cursor=(score, doc_id)`` applies Lucene searchAfter semantics: only
+    docs strictly after the cursor in (score desc, doc_id asc) order are
+    eligible — scores are unchanged, the cursor only gates selection.
 
     This is the reference kernel shape; the batch path uses the dense
     per-segment variant in ``_taat_topk_dense`` (bit-identical, measured
@@ -311,11 +316,16 @@ def _taat_topk(lists: list[dict], k: int) -> list[tuple[int, float]]:
     uniq, inv = np.unique(docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, contribs)
+    if cursor is not None:
+        s_a, d_a = cursor
+        keep = (acc < s_a) | ((acc == s_a) & (uniq > d_a))
+        uniq, acc = uniq[keep], acc[keep]
     order = np.lexsort((uniq, -acc))[:k]
     return [(int(uniq[i]), float(acc[i])) for i in order]
 
 
-def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int, float]]:
+def _taat_conjunctive(q_lists: list[dict], need: int, k: int,
+                      cursor: tuple[float, int] | None = None) -> list[tuple[int, float]]:
     """Exact match-count-gated top-k for one query over one segment.
 
     Only docs matched by at least ``need`` distinct query terms are ranked
@@ -347,6 +357,10 @@ def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int,
         cnt[np.searchsorted(uniq, tdocs)] += 1
         i = j
     cand = np.flatnonzero(cnt >= need)
+    if cursor is not None and len(cand):
+        s_a, d_a = cursor
+        ca, cu = acc[cand], uniq[cand]
+        cand = cand[(ca < s_a) | ((ca == s_a) & (cu > d_a))]
     if not len(cand):
         return []
     order = np.lexsort((uniq[cand], -acc[cand]))[:k]
@@ -354,7 +368,8 @@ def _taat_conjunctive(q_lists: list[dict], need: int, k: int) -> list[tuple[int,
 
 
 def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
-                     k: int) -> list[tuple[int, float]]:
+                     k: int,
+                     cursor: tuple[float, int] | None = None) -> list[tuple[int, float]]:
     """Dense-accumulator exact TAAT for one query over one segment.
 
     Replaces the sort-based ``np.unique`` + ``np.add.at`` accumulation with
@@ -389,6 +404,15 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
     acc.fill(0.0)
     for lst in q_lists:
         acc[lst["cols"]] += lst["vals"]
+    if cursor is not None:
+        # searchAfter gate: zero docs at-or-before the cursor in
+        # (score desc, doc asc) order — BM25 scores are strictly > 0, so
+        # zeroing removes them from selection without touching survivors
+        s_a, d_a = cursor
+        acc[acc > s_a] = 0.0
+        ties = np.flatnonzero(acc == s_a)
+        if len(ties) and s_a > 0.0:
+            acc[ties[ties + base <= d_a]] = 0.0
     kk = min(k, len(acc))
     kth = -np.partition(-acc, kk - 1)[kk - 1]
     cand = np.flatnonzero(acc > 0) if kth <= 0 else np.flatnonzero(acc >= kth)
@@ -512,7 +536,8 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        min_match: int | None = None,
                        filter_attrs: list[str] | None = None,
                        use_deletes: bool = False,
-                       qweights: dict | None = None):
+                       qweights: dict | None = None,
+                       after: dict | None = None):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -576,6 +601,7 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                             q_lists.append(_weight_list(lst, w) if w else lst)
                 else:
                     q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+                cursor = after.get(qid) if after else None
                 # non-dense fallback: the per-query adaptive kernel, which
                 # may still go dense for a query whose own lists span a
                 # narrow doc range, else BMW — never a segment-width buffer
@@ -585,9 +611,14 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                     # to it (a 2-term query with min_match=3 needs both)
                     need = len(terms) if conjunctive \
                         else min(int(min_match), len(terms))
-                    top = _taat_conjunctive(q_lists, need, k)
+                    top = _taat_conjunctive(q_lists, need, k, cursor)
                 elif dense:
-                    top = _taat_topk_dense(q_lists, acc, base, k)
+                    top = _taat_topk_dense(q_lists, acc, base, k, cursor)
+                elif cursor is not None:
+                    # searchAfter needs a post-score gate, which BMW's
+                    # heap can't express — the sparse exact TAAT applies
+                    # the cursor before selection (scores unchanged)
+                    top = _taat_topk(q_lists, k, cursor)
                 else:
                     top = exact_topk_lists(q_lists, k, block_size,
                                            dense_max_width)
@@ -652,8 +683,20 @@ def batch_topk(
     min_match: int | None = None,
     filters: dict[str, list[str]] | None = None,
     deletes: DataFrame | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``after={qid: (score, doc_id), ...}`` applies Lucene searchAfter
+    pagination per query: only docs strictly after the cursor in
+    (score desc, doc_id asc) order are eligible, scores unchanged, ranks
+    restart at 1 for the new page — so feeding page N's last (score,
+    doc_id) returns page N+1 without the deep-paging k×page heap.
+    Queries absent from the dict are unpaginated. Composes with two-wave
+    pruning (the wave-1 threshold comes from cursor-filtered scores,
+    which only LOWERS θ — pruning stays admissible) and with
+    conjunctive/min_match/filters/deletes (the cursor gates selection
+    after every other mask).
 
     ``deletes`` (a DataFrame with a ``doc_id`` column — tombstoned ids,
     e.g. ``snapshots.read_deletes``) masks deleted docs out of the decoded
@@ -766,11 +809,14 @@ def batch_topk(
         hits = hits.join(seg_del, "segment", "left")
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    after = {int(q): (float(s), int(d)) for q, (s, d) in after.items()} \
+        if after else None
     if not two_wave:
         kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=False,
                                     conjunctive=conjunctive, min_match=min_match,
                                     filter_attrs=filter_attrs,
-                                    use_deletes=use_deletes, qweights=qweights)
+                                    use_deletes=use_deletes, qweights=qweights,
+                                    after=after)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -780,7 +826,8 @@ def batch_topk(
     kernel = _make_batch_kernel(qmap, stats, p, k, block_size_meta, scoped=True,
                                 conjunctive=conjunctive, min_match=min_match,
                                 filter_attrs=filter_attrs,
-                                use_deletes=use_deletes, qweights=qweights)
+                                use_deletes=use_deletes, qweights=qweights,
+                                after=after)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
@@ -1082,6 +1129,118 @@ def synonym_topk(
     return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score"))
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    attr: str,
+    p: BM25Params | None = None,
+    k: int | None = None,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Field collapsing (Lucene grouping / Elasticsearch ``collapse``):
+    per query, the top-k docs with AT MOST ONE doc — the best-scoring —
+    per value of ``attr``. The web-search "one result per site" shape.
+    Docs missing the attribute collapse into one shared null group (ES
+    null-bucket semantics). → (query_id, rank, doc_id, score, value).
+
+    Scale shape: the kernel scores a segment once for all queries (the
+    usual decode-once TAAT pass), maps scored docs to values via the
+    attribute-postings sidecar (already segment-local), and emits only
+    the per-value best for the segment's TOP-K DISTINCT VALUES — enough
+    for exactness: if a value's best doc is outranked by k other values'
+    bests within its own segment, those same k values outrank it
+    globally, so it can never reach the global top-k. The global merge
+    is a two-window pass over ≤ k rows per (query, segment): best per
+    (query, value), then rank. Requires ``build_index(..., attrs=(...,
+    attr, ...))``.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    if attr not in stats_all.get("attrs", []):
+        raise ValueError(
+            f"index at {index_dir} has no attribute postings for '{attr}'; "
+            f"built with attrs={stats_all.get('attrs', [])}")
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap = [(int(qid), sorted({t.partition("^")[0] for t in terms}))
+            for qid, terms in queries]
+    all_terms = sorted({t for _, terms in qmap for t in terms})
+    schema = "query_id long, doc_id long, score double, value string"
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double, value string")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    vals = (load_attrs(spark, index_dir).filter(F.col("attr") == attr)
+            .groupBy("segment")
+            .agg(F.collect_list(F.struct("value", "docs_vb")).alias("vals")))
+    hits = postings.join(F.broadcast(t_df), "term").join(vals, "segment")
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        value_docs = [(r["value"],
+                       delta_decode(varbyte_decode(r["docs_vb"])
+                                    .astype(np.int64)))
+                      for r in g["vals"].iloc[0]]
+        g = g.drop(columns=["vals"])
+        lists = [lst for lst in _decode_group(g, stats, p)
+                 if len(lst["docs"])]
+        by_term: dict[str, list[dict]] = {}
+        for lst in sorted(lists, key=lambda d: (d["term"], d["field"])):
+            by_term.setdefault(lst["term"], []).append(lst)
+        qids, dids, scores, values = [], [], [], []
+        for qid, terms in qmap:
+            q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+            if not q_lists:
+                continue
+            docs = np.concatenate([lst["docs"] for lst in q_lists])
+            contribs = np.concatenate(
+                [lst["boost"] * lst["contribs"] for lst in q_lists])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inv, contribs)
+            # doc → value-code; unmatched docs share the null group (-1)
+            group = np.full(len(uniq), -1, dtype=np.int64)
+            for vi, (_v, ids) in enumerate(value_docs):
+                pos = np.searchsorted(ids, uniq)
+                hit = (pos < len(ids)) & \
+                    (ids[np.minimum(pos, len(ids) - 1)] == uniq)
+                group[hit] = vi
+            order = np.lexsort((uniq, -acc))
+            seen: set[int] = set()
+            for i in order:
+                gcode = int(group[i])
+                if gcode in seen:
+                    continue
+                seen.add(gcode)
+                qids.append(qid)
+                dids.append(int(uniq[i]))
+                scores.append(float(acc[i]))
+                values.append(value_docs[gcode][0] if gcode >= 0 else None)
+                if len(seen) >= k:
+                    break
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+            "value": pd.Series(values, dtype="object"),
+        })
+
+    partials = hits.groupBy("segment").applyInPandas(kernel, schema)
+    # best per (query, value) across segments — NULL values form one
+    # partition (the shared null group) in both Spark and the SQL oracle
+    wv = Window.partitionBy("query_id", "value").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (partials.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1).drop("rn")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score", "value"))
 
 
 def dismax_topk(
