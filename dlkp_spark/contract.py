@@ -1521,6 +1521,61 @@ SQL_BM25_COLLAPSE = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+MUST_NOT = {0: ["slow"], 1: ["the"], 2: ["window"]}
+
+
+def _must_not_sql(terms: list[str], neg: list[str], k: int, qid: int) -> str:
+    """Boolean MUST_NOT oracle: docs containing any excluded token are
+    removed before ranking; survivors keep plain BM25 sums."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    neg_list = ", ".join(f"'{t}'" for t in sorted(set(neg)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_list}))
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_must_not(spark, sf_dir):
+    """Boolean MUST_NOT clauses (round 5, Lucene BooleanQuery NOT): a doc
+    containing any excluded term can neither rank nor occupy a top-k
+    slot; survivors score bit-identically. Exclusion masks decoded
+    posting lists per query inside the segment kernel — excluded terms
+    join the posting scan but never score."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("negidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False)
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
+                       must_not=MUST_NOT)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_MUST_NOT = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_must_not_sql(terms, MUST_NOT[qid], 5, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 SEARCH_AFTER_K = 5
 
 
@@ -3076,6 +3131,7 @@ QUERIES = {
     "bm25_dismax": (q_bm25_dismax, SQL_BM25_DISMAX),
     "bm25_collapse": (q_bm25_collapse, SQL_BM25_COLLAPSE),
     "bm25_search_after": (q_bm25_search_after, SQL_BM25_SEARCH_AFTER),
+    "bm25_must_not": (q_bm25_must_not, SQL_BM25_MUST_NOT),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

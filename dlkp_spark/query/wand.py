@@ -537,7 +537,8 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                        filter_attrs: list[str] | None = None,
                        use_deletes: bool = False,
                        qweights: dict | None = None,
-                       after: dict | None = None):
+                       after: dict | None = None,
+                       must_not: dict | None = None):
     """Per-segment applyInPandas kernel shared by the one-wave and
     two-wave batch paths.
 
@@ -601,6 +602,24 @@ def _make_batch_kernel(qmap, stats, p, k, block_size, scoped: bool,
                             q_lists.append(_weight_list(lst, w) if w else lst)
                 else:
                     q_lists = [lst for t in terms for lst in by_term.get(t, [])]
+                if must_not and qid in must_not:
+                    # Boolean MUST_NOT: drop every posting of a doc that
+                    # contains any excluded term (either field) BEFORE
+                    # scoring — surviving docs keep bit-identical scores.
+                    # The mask copies lists, so the segment's shared
+                    # decoded lists are untouched for other queries; the
+                    # dense fast-path arrays are re-derived from the
+                    # masked copies (the cached ones index the full list).
+                    neg = [lst["docs"] for t in must_not[qid]
+                           for lst in by_term.get(t, [])]
+                    if neg:
+                        excl = np.unique(np.concatenate(neg))
+                        q_lists = _apply_doc_deletes(q_lists, excl,
+                                                     block_size)
+                        if dense:
+                            for lst in q_lists:
+                                lst["cols"] = (lst["docs"] - base).astype(np.int64)
+                                lst["vals"] = lst["boost"] * lst["contribs"]
                 cursor = after.get(qid) if after else None
                 # non-dense fallback: the per-query adaptive kernel, which
                 # may still go dense for a query whose own lists span a
@@ -684,8 +703,18 @@ def batch_topk(
     filters: dict[str, list[str]] | None = None,
     deletes: DataFrame | None = None,
     after: dict[int, tuple[float, int]] | None = None,
+    must_not: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``must_not={qid: [terms], ...}`` adds Lucene BooleanQuery MUST_NOT
+    clauses: a doc containing ANY excluded term (either field) can
+    neither rank nor occupy a top-k slot for that query; surviving docs
+    keep bit-identical scores (exclusion masks posting lists before
+    scoring, like deletes, but per query). Excluded terms never score.
+    Composes with conjunctive/min_match/filters/deletes/after; with
+    two-wave pruning the upper bound stays admissible (exclusion only
+    removes candidates, never raises a score).
 
     ``after={qid: (score, doc_id), ...}`` applies Lucene searchAfter
     pagination per query: only docs strictly after the cursor in
@@ -764,7 +793,14 @@ def batch_topk(
                                     auto_cutoff)
     queries, qweights = _parse_boosts(queries)
     qmap = [(qid, sorted(set(terms))) for qid, terms in queries]
+    must_not = {int(q): sorted(set(ts)) for q, ts in must_not.items() if ts} \
+        if must_not else None
     all_terms = sorted({t for _, terms in qmap for t in terms})
+    if must_not:
+        # excluded terms join the posting scan (their doc lists feed the
+        # per-query exclusion sets) but are never added to scoring terms
+        all_terms = sorted(set(all_terms)
+                           | {t for ts in must_not.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
 
@@ -816,7 +852,7 @@ def batch_topk(
                                     conjunctive=conjunctive, min_match=min_match,
                                     filter_attrs=filter_attrs,
                                     use_deletes=use_deletes, qweights=qweights,
-                                    after=after)
+                                    after=after, must_not=must_not)
         partials = hits.groupBy("segment").applyInPandas(
             kernel, "query_id long, doc_id long, score double")
         return (partials.withColumn("rank", F.row_number().over(w))
@@ -827,7 +863,7 @@ def batch_topk(
                                 conjunctive=conjunctive, min_match=min_match,
                                 filter_attrs=filter_attrs,
                                 use_deletes=use_deletes, qweights=qweights,
-                                after=after)
+                                after=after, must_not=must_not)
     # per-(query, segment) admissible upper bound from posting METADATA
     # columns only (max_contrib is written at encode time) — this scan
     # reads no posting blobs (parquet column pruning) and aggregates to
