@@ -238,7 +238,8 @@ def section_surface() -> tuple[dict, dict]:
     from dlkp_spark.index.build import build_index, prepare_docs
     from dlkp_spark.oracle import reference_query_set
     from dlkp_spark.query.phrase import phrase_topk
-    from dlkp_spark.query.wand import (batch_topk, dismax_topk, fuzzy_topk,
+    from dlkp_spark.query.wand import (batch_topk, collapse_topk,
+                                       dismax_topk, fuzzy_topk,
                                        match_counts, prefix_topk,
                                        synonym_topk, wildcard_topk)
     from dlkp_spark.session import get_spark
@@ -298,6 +299,12 @@ def section_surface() -> tuple[dict, dict]:
         lambda: dismax_topk(spark, idx, queries, p, k=10, tie=0.3).count())
     timings["match_counts_200q"] = _best_of(spark,
         lambda: match_counts(spark, idx, queries).count())
+    timings["collapse_200q"] = _best_of(spark,
+        lambda: collapse_topk(spark, idx, queries, "lang", p, k=10).count())
+    neg = {qid: [terms[-1]] for qid, terms in queries[:100]}
+    timings["must_not_200q"] = _best_of(spark,
+        lambda: batch_topk(spark, idx, queries, p, k=10,
+                           must_not=neg).count())
     shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
     shutil.rmtree(os.path.dirname(src_dir), ignore_errors=True)
     spark.stop()
