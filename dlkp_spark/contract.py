@@ -1521,6 +1521,40 @@ SQL_BM25_COLLAPSE = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+RANGE_LO, RANGE_HI = 3, 5  # doc-length buckets (floor(n_tokens / 10))
+
+
+def q_bm25_range_filter(spark, sf_dir):
+    """Numeric range filter (round 5, Lucene/ES range query): candidates
+    restrict to docs whose derived doc-length bucket lies in [3, 5].
+    The range expands against the attr sidecar's tiny distinct-value
+    domain (numeric compare, unparseable values outside) and rides the
+    ordinary filter path — surviving docs score bit-identically with
+    full-corpus stats."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import batch_topk
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"))
+            .withColumn("bucket",
+                        F.floor(F.size("tokens") / F.lit(10)).cast("string"))
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("rngidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("bucket",))
+    return (batch_topk(spark, d, BATCH_QUERIES, BM25Params(), k=5,
+                       range_filters={"bucket": (RANGE_LO, RANGE_HI)})
+            .select("query_id", "rank", "doc_id"))
+
+
+_RANGE_WHERE = (f"floor(len(string_split(lower(text), ' ')) / 10) "
+                f"BETWEEN {RANGE_LO} AND {RANGE_HI}")
+SQL_BM25_RANGE = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_bm25_sql(terms, 5, qid_select=f'CAST({qid} AS BIGINT) AS query_id,', doc_where=_RANGE_WHERE)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 MUST_NOT = {0: ["slow"], 1: ["the"], 2: ["window"]}
 
 
@@ -3132,6 +3166,7 @@ QUERIES = {
     "bm25_collapse": (q_bm25_collapse, SQL_BM25_COLLAPSE),
     "bm25_search_after": (q_bm25_search_after, SQL_BM25_SEARCH_AFTER),
     "bm25_must_not": (q_bm25_must_not, SQL_BM25_MUST_NOT),
+    "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

@@ -667,6 +667,41 @@ def _scoped_partials(hits: DataFrame, pairs: DataFrame, kernel) -> DataFrame:
         kernel, "query_id long, doc_id long, score double")
 
 
+def _expand_range_filters(spark: SparkSession, index_dir: str,
+                          ranges: dict) -> dict[str, list[str]]:
+    """Expand {attr: (lo, hi)} range filters into the value-list form the
+    filter path consumes, against the sidecar's DISTINCT (attr, value)
+    domain (a tiny metadata projection — attribute domains are
+    low-cardinality by design; the attr predicate pushes to the scan).
+
+    Numeric bounds compare numerically (values that don't parse are
+    outside any numeric range — Lucene numeric-range semantics); string
+    bounds compare lexicographically. Bounds are inclusive. An attr whose
+    domain has no value in range expands to an empty list, which the
+    filter path resolves to zero matches for that attribute.
+    """
+    dom = (load_attrs(spark, index_dir)
+           .filter(F.col("attr").isin(sorted(ranges)))
+           .select("attr", "value").distinct().collect())
+    by_attr: dict[str, list[str]] = {}
+    for r in dom:
+        by_attr.setdefault(r["attr"], []).append(r["value"])
+    out: dict[str, list[str]] = {}
+    for a, (lo, hi) in ranges.items():
+        vals = by_attr.get(a, [])
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) \
+                and not isinstance(lo, bool) and not isinstance(hi, bool):
+            def in_range(v, lo=lo, hi=hi):
+                try:
+                    return lo <= float(v) <= hi
+                except ValueError:
+                    return False
+            out[a] = sorted(v for v in vals if in_range(v))
+        else:
+            out[a] = sorted(v for v in vals if str(lo) <= v <= str(hi))
+    return out
+
+
 def _should_two_wave(n_docs: int, segment_docs: int | None,
                      cutoff: int) -> bool:
     """two_wave="auto" dispatch: prune only when the index is segmented
@@ -704,8 +739,18 @@ def batch_topk(
     deletes: DataFrame | None = None,
     after: dict[int, tuple[float, int]] | None = None,
     must_not: dict[int, list[str]] | None = None,
+    range_filters: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Batch-throughput top-k: one kernel per *segment*, all queries at once.
+
+    ``range_filters={"attr": (lo, hi), ...}`` adds Lucene/ES range
+    queries over attribute values: inclusive bounds, numeric comparison
+    for numeric bounds (unparseable values fall outside), lexicographic
+    for string bounds. Ranges expand against the sidecar's tiny distinct
+    (attr, value) domain and then ride the ordinary ``filters`` path
+    (IN within an attribute, AND across attributes; naming the same attr
+    in both ``filters`` and ``range_filters`` raises — pass one form per
+    attr). A range matching no domain value matches no documents.
 
     ``must_not={qid: [terms], ...}`` adds Lucene BooleanQuery MUST_NOT
     clauses: a doc containing ANY excluded term (either field) can
@@ -808,6 +853,26 @@ def batch_topk(
     if postings is None:
         postings = load_postings(spark, index_dir)
     hits = postings.join(F.broadcast(t_df), "term")
+
+    if range_filters:
+        overlap = set(range_filters) & set(filters or {})
+        if overlap:
+            raise ValueError(
+                f"attrs {sorted(overlap)} appear in both filters and "
+                "range_filters — pass one form per attribute")
+        missing_attrs = set(range_filters) - set(stats_all.get("attrs", []))
+        if missing_attrs:
+            raise ValueError(
+                f"index at {index_dir} has no attribute postings for "
+                f"{sorted(missing_attrs)}; built with "
+                f"attrs={stats_all.get('attrs', [])}")
+        expanded = _expand_range_filters(spark, index_dir, range_filters)
+        if any(not v for v in expanded.values()):
+            # some range matches no attribute value at all → no document
+            # can satisfy the conjunction; skip the scan entirely
+            return spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double")
+        filters = {**(filters or {}), **expanded}
 
     filter_attrs = sorted(filters) if filters else None
     if filters:
