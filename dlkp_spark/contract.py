@@ -1555,6 +1555,70 @@ SQL_BM25_RANGE = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+FACET_RANGES = [(0, 4), (4, 8), (6, None)]  # overlapping + open-ended
+
+
+def _facet_range_sql(terms: list[str], qid: int) -> str:
+    """Range-facet oracle: per bucket, distinct matching docs whose
+    doc-length bucket value falls in [lo, hi) — overlap double-counts by
+    design (ES range aggregation)."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    parts = []
+    for i, (lo, hi) in enumerate(FACET_RANGES):
+        conds = []
+        if lo is not None:
+            conds.append(f"b >= {float(lo)}")
+        if hi is not None:
+            conds.append(f"b < {float(hi)}")
+        where = " AND ".join(conds) or "TRUE"
+        parts.append(f"""
+  SELECT CAST({qid} AS BIGINT) AS query_id, {i} AS bucket,
+         count(DISTINCT doc_id) AS n_docs
+  FROM m WHERE {where}
+  HAVING count(DISTINCT doc_id) > 0""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+bv AS (
+  SELECT doc_id, floor(len(string_split(lower(text), ' ')) / 10) AS b
+  FROM documents
+),
+m AS (
+  SELECT DISTINCT toks.doc_id, bv.b FROM toks JOIN bv USING (doc_id)
+  WHERE term IN ({term_list})
+)
+{union}
+"""
+
+
+def q_facet_ranges(spark, sf_dir):
+    """Range facets (round 5, ES range aggregation): matching-doc counts
+    per half-open [lo, hi) bucket of the doc-length attribute —
+    overlapping and open-ended buckets included (a doc counts in every
+    bucket containing it). Bucket counts are sums over the facet table's
+    per-value counts (single-valued attr ⇒ additive)."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import facet_ranges
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"))
+            .withColumn("bucket",
+                        F.floor(F.size("tokens") / F.lit(10)).cast("string"))
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("frangeidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("bucket",))
+    return facet_ranges(spark, d, BATCH_QUERIES, "bucket", FACET_RANGES)
+
+
+SQL_FACET_RANGES = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_facet_range_sql(terms, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 MUST_NOT = {0: ["slow"], 1: ["the"], 2: ["window"]}
 
 
@@ -3167,6 +3231,7 @@ QUERIES = {
     "bm25_search_after": (q_bm25_search_after, SQL_BM25_SEARCH_AFTER),
     "bm25_must_not": (q_bm25_must_not, SQL_BM25_MUST_NOT),
     "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE),
+    "facet_ranges": (q_facet_ranges, SQL_FACET_RANGES),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

@@ -1668,6 +1668,45 @@ def facet_counts(
             .agg(F.sum("n_docs").alias("n_docs")))
 
 
+def facet_ranges(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    attr: str,
+    ranges: list[tuple],
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Range facets (the Elasticsearch ``range`` aggregation): per query,
+    how many MATCHING docs fall into each numeric bucket of ``attr`` →
+    (query_id, bucket, n_docs). Buckets are ES half-open [lo, hi) pairs,
+    MAY overlap (a doc counts in every bucket containing it), and either
+    bound may be None for an open end. Values that don't parse
+    numerically belong to no bucket.
+
+    Built on ``facet_counts``'s additivity: the attribute is
+    single-valued per doc, so a bucket's doc count is the SUM of the
+    per-value counts over the values it contains — one tiny broadcast
+    range join over the (query, value, count) facet table; nothing else
+    ships.
+    """
+    buckets = []
+    for i, (lo, hi) in enumerate(ranges):
+        buckets.append((i,
+                        float(lo) if lo is not None else None,
+                        float(hi) if hi is not None else None))
+    if not buckets:
+        return spark.createDataFrame([], "query_id long, bucket int, n_docs long")
+    b_df = spark.createDataFrame(buckets, "bucket int, lo double, hi double")
+    fc = facet_counts(spark, index_dir, queries, attr, postings=postings)
+    vd = F.col("value").cast("double")
+    cond = (vd.isNotNull()
+            & (F.col("lo").isNull() | (vd >= F.col("lo")))
+            & (F.col("hi").isNull() | (vd < F.col("hi"))))
+    return (fc.join(F.broadcast(b_df), cond)
+            .groupBy("query_id", "bucket")
+            .agg(F.sum("n_docs").alias("n_docs")))
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

@@ -101,3 +101,28 @@ def test_unknown_attr_raises(spark, index_dir):
     with pytest.raises(ValueError, match="no attribute postings"):
         batch_topk(spark, index_dir, QUERIES, P, k=K,
                    range_filters={"nope": (1, 2)})
+
+
+def test_facet_ranges_match_value_counts(spark, index_dir):
+    from dlkp_spark.query.wand import facet_counts, facet_ranges
+
+    fc = facet_counts(spark, index_dir, QUERIES, "bucket").collect()
+    vals = sorted({float(r["value"]) for r in fc})
+    mid = vals[len(vals) // 2]
+    # bucket 0 and 1 overlap at [mid, mid+1) — contains the real value
+    # mid, so the double-count is exercised; 2 is upper-open
+    ranges = [(None, mid + 1), (mid, None), (vals[0], None)]
+    got = {(int(r["query_id"]), int(r["bucket"])): int(r["n_docs"])
+           for r in facet_ranges(spark, index_dir, QUERIES, "bucket",
+                                 ranges).collect()}
+    want: dict[tuple[int, int], int] = {}
+    for r in fc:
+        v = float(r["value"])
+        for i, (lo, hi) in enumerate(ranges):
+            if (lo is None or v >= lo) and (hi is None or v < hi):
+                key = (int(r["query_id"]), i)
+                want[key] = want.get(key, 0) + int(r["n_docs"])
+    assert got == want and got
+    # overlap double-counts: mid's docs appear in BOTH bucket 0 and 1
+    q_mid = {int(r["query_id"]) for r in fc if float(r["value"]) == mid}
+    assert any((q, 0) in got and (q, 1) in got for q in q_mid)
