@@ -1619,6 +1619,55 @@ SQL_FACET_RANGES = "\nUNION ALL\n".join(
     for qid, terms in BATCH_QUERIES)
 
 
+def _facet_stats_sql(terms: list[str], qid: int) -> str:
+    """Stats-agg oracle: count/min/max/sum/avg of the doc-length bucket
+    over distinct matching docs."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+),
+bv AS (
+  SELECT doc_id, CAST(floor(len(string_split(lower(text), ' ')) / 10) AS DOUBLE) AS b
+  FROM documents
+),
+m AS (
+  SELECT DISTINCT toks.doc_id, bv.b FROM toks JOIN bv USING (doc_id)
+  WHERE term IN ({term_list})
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, count(*) AS n_docs,
+       min(b) AS vmin, max(b) AS vmax, sum(b) AS vsum,
+       round(sum(b) / count(*), 6) AS vavg
+FROM m HAVING count(*) > 0
+"""
+
+
+def q_facet_stats(spark, sf_dir):
+    """Stats aggregation over matches (round 5, ES stats agg):
+    count/min/max/sum/avg of the doc-length-bucket attribute over each
+    query's matching docs, computed entirely from the facet table's
+    (value, count) pairs — exact because the attr is single-valued and
+    integer-valued."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.wand import facet_stats
+
+    base = _docs(spark, sf_dir)
+    docs = (base.select("doc_id", _toks().alias("tokens"))
+            .withColumn("bucket",
+                        F.floor(F.size("tokens") / F.lit(10)).cast("string"))
+            .withColumn("keyphrases", F.array().cast("array<string>")))
+    d = _staging_dir("fstatidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32, n_term_partitions=8),
+                n_shards=1, resume=False, attrs=("bucket",))
+    return facet_stats(spark, d, BATCH_QUERIES, "bucket")
+
+
+SQL_FACET_STATS = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_facet_stats_sql(terms, qid)})"
+    for qid, terms in BATCH_QUERIES)
+
+
 MUST_NOT = {0: ["slow"], 1: ["the"], 2: ["window"]}
 
 
@@ -3232,6 +3281,7 @@ QUERIES = {
     "bm25_must_not": (q_bm25_must_not, SQL_BM25_MUST_NOT),
     "bm25_range_filter": (q_bm25_range_filter, SQL_BM25_RANGE),
     "facet_ranges": (q_facet_ranges, SQL_FACET_RANGES),
+    "facet_stats": (q_facet_stats, SQL_FACET_STATS),
     "bm25_synonyms": (q_bm25_synonyms, SQL_BM25_SYNONYMS),
     "match_counts": (q_match_counts, SQL_MATCH_COUNTS),
     "bm25_twowave_topk": (q_bm25_twowave_topk, SQL_BM25_TOPK_BATCH),

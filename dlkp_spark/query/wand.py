@@ -1707,6 +1707,37 @@ def facet_ranges(
             .agg(F.sum("n_docs").alias("n_docs")))
 
 
+def facet_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    attr: str,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Stats aggregation over matching docs (the Elasticsearch ``stats``
+    agg): per query, count/min/max/sum/avg of ``attr``'s numeric value
+    over the docs matching any query term →
+    (query_id, n_docs, vmin, vmax, vsum, vavg). Docs whose value doesn't
+    parse numerically are excluded (ES skips non-numeric docs).
+
+    Derived entirely from the facet table: the attribute is
+    single-valued per doc, so every moment is a weighted sum over
+    (value, count) pairs — no doc rows ship, nothing is re-scored.
+    Values here are integer-valued doubles, so the weighted sums are
+    exact.
+    """
+    fc = facet_counts(spark, index_dir, queries, attr, postings=postings)
+    vd = F.col("value").cast("double")
+    num = fc.filter(vd.isNotNull())
+    return (num.groupBy("query_id")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.min(vd).alias("vmin"),
+                 F.max(vd).alias("vmax"),
+                 F.sum(vd * F.col("n_docs")).alias("vsum"))
+            .withColumn("vavg", F.round(F.col("vsum") / F.col("n_docs"), 6))
+            .select("query_id", "n_docs", "vmin", "vmax", "vsum", "vavg"))
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

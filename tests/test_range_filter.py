@@ -103,6 +103,27 @@ def test_unknown_attr_raises(spark, index_dir):
                    range_filters={"nope": (1, 2)})
 
 
+def test_facet_stats_match_value_counts(spark, index_dir):
+    from dlkp_spark.query.wand import facet_counts, facet_stats
+
+    got = {int(r["query_id"]):
+           (int(r["n_docs"]), r["vmin"], r["vmax"], r["vsum"], r["vavg"])
+           for r in facet_stats(spark, index_dir, QUERIES,
+                                "bucket").collect()}
+    fc = facet_counts(spark, index_dir, QUERIES, "bucket").collect()
+    per_q: dict[int, list] = {}
+    for r in fc:
+        per_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["value"]), int(r["n_docs"])))
+    assert set(got) == set(per_q) and got
+    for q, pairs in per_q.items():
+        n = sum(c for _, c in pairs)
+        vsum = sum(v * c for v, c in pairs)
+        want = (n, min(v for v, _ in pairs), max(v for v, _ in pairs),
+                vsum, round(vsum / n, 6))
+        assert got[q] == pytest.approx(want), q
+
+
 def test_facet_ranges_match_value_counts(spark, index_dir):
     from dlkp_spark.query.wand import facet_counts, facet_ranges
 
