@@ -1450,6 +1450,30 @@ def _taat_topk_lists_presorted(q_lists: list[dict], k: int) -> list[tuple[int, f
     return [(int(uniq[i]), float(acc[i])) for i in order]
 
 
+def _fuzzy_expand(spark: SparkSession, postings: DataFrame,
+                  srcs: list[str], max_edits: int,
+                  prefix_len: int) -> DataFrame:
+    """The fuzzy expansion frame: (src, term) pairs from the index term
+    dictionary within ``max_edits`` of a source, sharing its first
+    ``prefix_len`` chars. The StartsWith prefix gate reaches the posting
+    metadata scan (plan-pinned) and the tiny source list broadcasts, so
+    the JVM-side levenshtein runs only over the prefix-pruned dictionary
+    slice."""
+    src_df = spark.createDataFrame([(s,) for s in srcs], "src string")
+    vocab = postings.select("term").distinct()
+    if prefix_len > 0:
+        cond = None
+        for pre in sorted({s[:prefix_len] for s in srcs}):
+            c = F.col("term").startswith(pre)
+            cond = c if cond is None else (cond | c)
+        vocab = vocab.filter(cond)
+    join_cond = F.levenshtein(F.col("term"), F.col("src"), max_edits) >= 0
+    if prefix_len > 0:
+        join_cond = join_cond & (
+            F.substring("term", 1, prefix_len) == F.substring("src", 1, prefix_len))
+    return vocab.join(F.broadcast(src_df), join_cond).select("src", "term")
+
+
 def fuzzy_topk(
     spark: SparkSession,
     index_dir: str,
@@ -1493,20 +1517,8 @@ def fuzzy_topk(
             [], "query_id long, rank int, doc_id long, score double")
     if postings is None:
         postings = load_postings(spark, index_dir)
-    src_df = spark.createDataFrame([(s,) for s in srcs], "src string")
-    vocab = postings.select("term").distinct()
-    if prefix_len > 0:
-        cond = None
-        for pre in sorted({s[:prefix_len] for s in srcs}):
-            c = F.col("term").startswith(pre)
-            cond = c if cond is None else (cond | c)
-        vocab = vocab.filter(cond)
-    join_cond = F.levenshtein(F.col("term"), F.col("src"), max_edits) >= 0
-    if prefix_len > 0:
-        join_cond = join_cond & (
-            F.substring("term", 1, prefix_len) == F.substring("src", 1, prefix_len))
-    matched = (vocab.join(F.broadcast(src_df), join_cond)
-               .select("src", "term").collect())
+    matched = _fuzzy_expand(spark, postings, srcs, max_edits,
+                            prefix_len).collect()
     expanded: dict[str, list[str]] = {s: [] for s in srcs}
     for r in matched:
         expanded[r["src"]].append(r["term"])

@@ -219,3 +219,24 @@ def test_simhash_single_shuffle(spark):
     plan = plan_of(simhash_signatures(docs))
     assert plan.count("Exchange") <= 2, plan  # input repartition absent here → 1
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_expansion_prefix_pushdown_and_broadcast(spark, index_dir):
+    """The fuzzy term expansion must (a) push its StartsWith prefix gate
+    into the posting-metadata parquet scan — at web scale the dictionary
+    is huge and the levenshtein sweep may only see the prefix slice —
+    and (b) broadcast the tiny source-term list (never shuffle the
+    dictionary for a non-equi join)."""
+    from dlkp_spark.query.wand import _fuzzy_expand
+
+    postings = load_postings(spark, index_dir)
+    df = _fuzzy_expand(spark, postings, ["w0003", "w0017"], 1, 2)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "StartsWith" in plan, plan
+    # Catalyst hashes the substring-prefix equality as the broadcast key
+    # with levenshtein as the residual condition — even better than the
+    # nested-loop broadcast; accept either broadcast form, never a
+    # shuffled join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
