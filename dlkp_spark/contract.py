@@ -782,6 +782,77 @@ SQL_BM25_SLOPPY = "\nUNION ALL\n".join(
     for qid, terms in PHRASE_QUERIES)
 
 
+# REVERSED corpus phrases: ordered matching at these slops fails where
+# unordered succeeds — order-independence is the thing under test
+NEAR_QUERIES = [(0, ["hash", "table"]), (1, ["hash", "stream", "table"]),
+                (2, ["table", "zzznothere"])]
+NEAR_SLOP = 2
+
+
+def _near_sql(terms: list[str], k: int, qid: int, slop: int) -> str:
+    """Unordered SpanNear oracle: one position per DISTINCT term with
+    greatest − least ≤ m−1+slop, any order; matched docs rank by the
+    BM25 sum of the distinct terms."""
+    uniq = sorted(set(terms))
+    term_list = ", ".join(f"'{t}'" for t in uniq)
+    m = len(uniq)
+    joins = "ptoks p0" + "".join(
+        f" JOIN ptoks p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, m))
+    conds = [f"p{i}.term = '{uniq[i]}'" for i in range(m)]
+    poss = ", ".join(f"p{i}.pos" for i in range(m))
+    conds.append(f"greatest({poss}) - least({poss}) <= {m - 1 + slop}")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM ptoks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest([{term_list}]) AS term),
+m AS (SELECT DISTINCT p0.doc_id FROM {joins} WHERE {" AND ".join(conds)}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN m USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_near_unordered(spark, sf_dir):
+    """Unordered SpanNear (round 5, Lucene SpanNearQuery inOrder=false):
+    the phrase's distinct terms co-occur within m−1+slop slots in ANY
+    order — the queries are REVERSED corpus phrases, so ordered matching
+    misses what this finds. Minimum-window sweep per candidate doc; the
+    oracle replays with a greatest−least join window."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.phrase import phrase_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("nearidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32,
+                                n_term_partitions=8, positions=True),
+                n_shards=1, resume=False)
+    return (phrase_topk(spark, d, NEAR_QUERIES, BM25Params(), k=5,
+                        slop=NEAR_SLOP, in_order=False)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_NEAR = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_near_sql(terms, 5, qid, NEAR_SLOP)})"
+    for qid, terms in NEAR_QUERIES)
+
+
 PREFIX_QUERIES = [(0, "st"), (1, "qu"), (2, "zzz")]
 
 
@@ -3272,6 +3343,7 @@ QUERIES = {
     "explain_scores": (q_explain_scores, SQL_EXPLAIN),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
+    "bm25_near_unordered": (q_bm25_near_unordered, SQL_BM25_NEAR),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),

@@ -86,8 +86,44 @@ def _ordered_window_hit(pos_lists: list[np.ndarray], max_span: int) -> bool:
     return bool(np.any(last - starts <= max_span))
 
 
+def _unordered_window_hit(pos_lists: list[np.ndarray], max_span: int) -> bool:
+    """∃ one position per list with max − min ≤ max_span, any order?
+
+    Classic minimum-window sweep: merge all positions with term labels,
+    two-pointer over the sorted merge keeping per-term counts — the
+    minimal window ending at each position is checked once, O(total
+    positions) per doc.
+    """
+    if any(not len(p) for p in pos_lists):
+        return False
+    pos = np.concatenate(pos_lists)
+    lab = np.concatenate([np.full(len(pl), i, dtype=np.int64)
+                          for i, pl in enumerate(pos_lists)])
+    order = np.argsort(pos, kind="stable")
+    pos, lab = pos[order], lab[order]
+    m = len(pos_lists)
+    counts = np.zeros(m, dtype=np.int64)
+    have = 0
+    lo = 0
+    for hi in range(len(pos)):
+        c = lab[hi]
+        counts[c] += 1
+        if counts[c] == 1:
+            have += 1
+        while have == m:
+            if pos[hi] - pos[lo] <= max_span:
+                return True
+            cl = lab[lo]
+            counts[cl] -= 1
+            if counts[cl] == 0:
+                have -= 1
+            lo += 1
+    return False
+
+
 def _phrase_matches(by_term: dict, phrase: list[str],
-                    slop: int = 0) -> list[tuple[int, float]]:
+                    slop: int = 0,
+                    in_order: bool = True) -> list[tuple[int, float]]:
     """(doc_id, score) for every doc of one segment matching the phrase.
 
     slop=0 is exact adjacency (offset-aligned position intersection);
@@ -96,8 +132,16 @@ def _phrase_matches(by_term: dict, phrase: list[str],
     token slots. slop=0 through the window path is identical to the exact
     path (m strictly increasing positions in m slots are consecutive) —
     pinned by test.
+
+    in_order=False is the unordered SpanNear: the phrase is treated as a
+    SET of distinct terms that must co-occur within
+    ``m − 1 + slop`` token slots in ANY order (minimum-window sweep per
+    candidate doc). An ordered hit is always an unordered hit at the
+    same slop (superset — pinned by test).
     """
     uniq_terms = sorted(set(phrase))
+    if not in_order:
+        phrase = uniq_terms  # a set query: duplicates carry no meaning
     entries = [by_term.get(t) for t in uniq_terms]
     if any(e is None for e in entries):
         return []
@@ -112,13 +156,15 @@ def _phrase_matches(by_term: dict, phrase: list[str],
     max_span = len(phrase) - 1 + slop
     out = []
     for d in cand:
-        if slop > 0:
+        if slop > 0 or not in_order:
             pos_lists = []
             for t in phrase:
                 e = lookup[t]
                 pos_lists.append(
                     _doc_positions(e, int(np.searchsorted(e["docs"], d))))
-            if not _ordered_window_hit(pos_lists, max_span):
+            hit = _ordered_window_hit(pos_lists, max_span) if in_order \
+                else _unordered_window_hit(pos_lists, max_span)
+            if not hit:
                 continue
             score = 0.0
             for t in uniq_terms:
@@ -153,6 +199,7 @@ def phrase_topk(
     k: int | None = None,
     postings: DataFrame | None = None,
     slop: int = 0,
+    in_order: bool = True,
     deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Phrase search → (query_id, rank, doc_id, score), rank 1..k.
@@ -168,6 +215,12 @@ def phrase_topk(
     check runs per candidate doc, still segment-local. Scoring is
     unchanged (BM25 sum of the phrase's distinct terms), so a slop hit
     ranks exactly as its terms would.
+
+    ``in_order=False`` is the unordered SpanNear (Lucene
+    ``SpanNearQuery(inOrder=false)``): the phrase's DISTINCT terms must
+    co-occur within ``m − 1 + slop`` slots in any order, decided by a
+    minimum-window sweep per candidate doc. Ordered hits are a subset of
+    unordered hits at the same slop.
 
     Requires an index built with ``IndexConfig(positions=True)``; raises
     otherwise (the posting rows have no pos_vb column to decode).
@@ -212,7 +265,7 @@ def phrase_topk(
         by_term = _decode_positional_group(g, stats, p)
         qids, dids, scores = [], [], []
         for qid, phrase in qmap:
-            matches = _phrase_matches(by_term, phrase, slop)
+            matches = _phrase_matches(by_term, phrase, slop, in_order)
             if deleted is not None and matches:
                 ds = np.fromiter((d for d, _ in matches), dtype=np.int64)
                 idx = np.searchsorted(deleted, ds)

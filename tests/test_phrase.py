@@ -247,3 +247,95 @@ def test_slop_monotone_supersets(spark, built):
         docs = {r["doc_id"] for r in rows}
         assert prev <= docs, f"slop={slop} lost matches"
         prev = docs
+
+
+def _brute_unordered(toks: dict, terms: list[str], slop: int, k: int):
+    """Reference unordered matcher: exhaustive over one position per
+    distinct term, window = max − min ≤ m−1+slop; scored like
+    _brute_phrase."""
+    import itertools
+
+    uniq = sorted(set(terms))
+    max_span = len(uniq) - 1 + slop
+
+    def hit(ts):
+        pos = {t: [i for i, x in enumerate(ts) if x == t] for t in uniq}
+        if any(not pos[t] for t in uniq):
+            return False
+        for combo in itertools.product(*(pos[t] for t in uniq)):
+            if max(combo) - min(combo) <= max_span:
+                return True
+        return False
+
+    matched = [d for d, ts in toks.items() if hit(ts)]
+    if not matched:
+        return []
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in uniq}
+    out = []
+    for d in matched:
+        score = 0.0
+        for t in uniq:
+            tf = float(toks[d].count(t))
+            dl = float(len(toks[d]))
+            score += idf_fn(n_docs, dfs[t]) * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        out.append((d, score))
+    out.sort(key=lambda ds: (-ds[1], ds[0]))
+    return out[:k]
+
+
+def test_unordered_near_matches_brute_force(spark, built):
+    idx, toks = built
+    some = next(ts for ts in toks.values() if len(ts) >= 5)
+    # REVERSED pairs/triples — ordered matching misses these directions
+    phrases = [(0, [some[3], some[0]]),
+               (1, [some[3], some[1], some[2]]),
+               (2, ["w0002", "zzznothere"])]
+    for slop in (0, 2):
+        got = phrase_topk(spark, idx, phrases, BM25Params(), k=K,
+                          slop=slop, in_order=False).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"]))
+        for qid, phrase in phrases:
+            want = _brute_unordered(toks, phrase, slop, K)
+            have = sorted(by_q.get(qid, []))
+            assert [d for _, d, _ in have] == [d for d, _ in want], \
+                (slop, qid, phrase)
+            for (_, _, s), (_, ws) in zip(have, want):
+                assert s == pytest.approx(ws, rel=1e-12)
+
+
+def test_ordered_hits_subset_of_unordered(spark, built):
+    idx, toks = built
+    some = next(ts for ts in toks.values() if len(ts) >= 4)
+    phrases = [(0, list(some[0:2])), (1, list(some[1:4]))]
+    for slop in (0, 2):
+        ordered = {(r["query_id"], r["doc_id"]) for r in phrase_topk(
+            spark, idx, phrases, BM25Params(), k=N_DOCS, slop=slop).collect()}
+        unordered = {(r["query_id"], r["doc_id"]) for r in phrase_topk(
+            spark, idx, phrases, BM25Params(), k=N_DOCS, slop=slop,
+            in_order=False).collect()}
+        assert ordered <= unordered and ordered
+
+
+def test_unordered_window_kernel_vs_exhaustive():
+    """Minimum-window sweep == exhaustive product over random position
+    lists."""
+    import itertools
+
+    from dlkp_spark.query.phrase import _unordered_window_hit
+
+    rng = np.random.default_rng(29)
+    for _ in range(300):
+        m = int(rng.integers(2, 5))
+        lists = [np.sort(rng.choice(25, size=int(rng.integers(1, 7)),
+                                    replace=False)).astype(np.int64)
+                 for _ in range(m)]
+        span = int(rng.integers(1, 10))
+        want = any(max(c) - min(c) <= span
+                   for c in itertools.product(*[list(pl) for pl in lists]))
+        assert _unordered_window_hit(lists, span) == want, (lists, span)
