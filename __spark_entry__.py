@@ -8,10 +8,12 @@ machines one might assume aren't: the BIO decode state machine, the full
 Arrow tagger surface (injectable rule), the complete SimHash pipeline
 (SQL-expressible token hash), transitive near-dup clustering (recursive
 CTE), the 5-stage curation chain, and the sequence-packing kernel
-(recursive-CTE fold). Only the 2 production-hash variants
-(``keyphrase_extract`` blake2b, ``simhash_pairs`` xxhash64) are
-rows-only, each pinned by a pure-Python parity pytest AND sharing its
-entire downstream pipeline with an oracle-gated twin.
+(recursive-CTE fold). Only 3 entries are rows-only: the 2
+production-hash variants (``keyphrase_extract`` blake2b,
+``simhash_pairs`` xxhash64) and the float64-logsumexp ``crf_loss`` —
+each pinned by a pure-Python parity pytest AND sharing its pipeline
+with an oracle-gated twin (``keyphrase_extract_ruled``,
+``simhash_fp_pairs``, ``crf_loss_toy``).
 """
 
 from __future__ import annotations
