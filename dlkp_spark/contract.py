@@ -853,6 +853,87 @@ SQL_BM25_NEAR = "\nUNION ALL\n".join(
     for qid, terms in NEAR_QUERIES)
 
 
+# ["table", "ha"] = classic autocomplete; ["s"] = prefix-only with MANY
+# expansions (best completion wins); ["stream", "zzz"] = no expansion
+PHRASE_PREFIX_QUERIES = [(0, ["table", "ha"]), (1, ["s"]),
+                         (2, ["stream", "zzz"])]
+
+
+def _phrase_prefix_sql(terms: list[str], k: int, qid: int) -> str:
+    """match_phrase_prefix oracle: expansions of the last term from the
+    corpus vocabulary; a (doc, e) matches when the full phrase ends with
+    e adjacently; per doc the best completion's phrase score wins."""
+    full, pre = terms[:-1], terms[-1]
+    m = len(full)
+    joins = "ptoks p0" + "".join(
+        f" JOIN ptoks p{i} ON p{i}.doc_id = p0.doc_id "
+        f"AND p{i}.pos = p0.pos + {i}" for i in range(1, m + 1))
+    conds = [f"p{i}.term = '{full[i]}'" for i in range(m)]
+    conds.append(f"p{m}.term = exp.term")
+    full_list = ", ".join(f"'{t}'" for t in sorted(set(full)))
+    ct_cond = (f"(ct.term IN ({full_list}) OR ct.term = me.e)"
+               if full else "ct.term = me.e")
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM ptoks GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+exp AS (SELECT DISTINCT term FROM ptoks WHERE term LIKE '{pre}%'),
+me AS (
+  SELECT DISTINCT p0.doc_id, p{m}.term AS e
+  FROM {joins} JOIN exp ON p{m}.term = exp.term
+  {"WHERE " + " AND ".join(conds[:-1]) if full else ""}
+),
+ct AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (
+  SELECT doc_id, max(se) AS score FROM (
+    SELECT me.doc_id, me.e, sum(ct.c) AS se
+    FROM me JOIN ct ON ct.doc_id = me.doc_id AND {ct_cond}
+    GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT CAST({qid} AS BIGINT) AS query_id, rank, doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def q_bm25_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (round 5, the ES autocomplete primitive): an
+    exact phrase whose last term is a prefix — the best matching
+    completion's phrase score wins per doc (DisMax over expansions).
+    Exercises classic autocomplete, a prefix-only query with many
+    expansions, and a no-expansion empty."""
+    from dlkp_spark.index.build import build_index
+    from dlkp_spark.query.phrase import phrase_prefix_topk
+
+    docs = docs_for_engine(spark, sf_dir, tagged=False)
+    d = _staging_dir("ppidx_")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=256, block_size=32,
+                                n_term_partitions=8, positions=True),
+                n_shards=1, resume=False)
+    return (phrase_prefix_topk(spark, d, PHRASE_PREFIX_QUERIES,
+                               BM25Params(), k=5)
+            .select("query_id", "rank", "doc_id"))
+
+
+SQL_BM25_PHRASE_PREFIX = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_phrase_prefix_sql(terms, 5, qid)})"
+    for qid, terms in PHRASE_PREFIX_QUERIES)
+
+
 PREFIX_QUERIES = [(0, "st"), (1, "qu"), (2, "zzz")]
 
 
@@ -3344,6 +3425,7 @@ QUERIES = {
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "bm25_sloppy_phrase": (q_bm25_sloppy_phrase, SQL_BM25_SLOPPY),
     "bm25_near_unordered": (q_bm25_near_unordered, SQL_BM25_NEAR),
+    "bm25_phrase_prefix": (q_bm25_phrase_prefix, SQL_BM25_PHRASE_PREFIX),
     "bm25_prefix": (q_bm25_prefix, SQL_BM25_PREFIX),
     "bm25_fuzzy": (q_bm25_fuzzy, SQL_BM25_FUZZY),
     "bm25_wildcard": (q_bm25_wildcard, SQL_BM25_WILDCARD),

@@ -191,6 +191,104 @@ def _phrase_matches(by_term: dict, phrase: list[str],
     return out
 
 
+def phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[str]]],
+    p: BM25Params | None = None,
+    k: int | None = None,
+    max_expansion: int = 1024,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """match_phrase_prefix (the Elasticsearch autocomplete primitive):
+    each query is a phrase whose LAST term is a prefix — a doc matches if
+    it contains the exact phrase with the last slot filled by ANY index
+    term starting with the prefix. → (query_id, rank, doc_id, score).
+
+    Scoring is "best completion wins": score(doc) = max over matching
+    expansions e of the completed phrase's ordinary score — the BM25 sum
+    over the DISTINCT terms of ``full + [e]`` in term-asc float order,
+    exactly what ``phrase_topk`` would give for that completion. A
+    DisMax over the completions, deterministic and SQL-replayable. A
+    prefix-only query (one-element phrase) degenerates to "best
+    completion anywhere in the doc".
+
+    The expansion runs against the index term dictionary with the
+    StartsWith gate and ``max_expansion`` guard of ``prefix_topk``; the
+    per-expansion adjacency checks reuse the exact-phrase kernel per
+    candidate doc, segment-locally.
+    """
+    p = p or BM25Params()
+    k = k or p.k
+    stats_all = load_stats(index_dir)
+    if not stats_all.get("positions"):
+        raise ValueError(
+            f"{index_dir} was built without positions — phrase_prefix_topk "
+            "needs IndexConfig(positions=True)")
+    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    qmap = [(int(qid), [str(t) for t in terms]) for qid, terms in queries
+            if terms]
+    if not qmap:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    if postings is None:
+        postings = load_postings(spark, index_dir)
+    prefixes = sorted({terms[-1] for _, terms in qmap})
+    cond = None
+    for pre in prefixes:
+        c = F.col("term").startswith(pre)
+        cond = c if cond is None else (cond | c)
+    vocab = [r["term"] for r in
+             (postings.filter(F.col("field") == FIELD_BODY).filter(cond)
+              .select("term").distinct().collect())]
+    expanded: dict[str, list[str]] = {
+        pre: sorted(t for t in vocab if t.startswith(pre))
+        for pre in prefixes}
+    for pre, terms in expanded.items():
+        if len(terms) > max_expansion:
+            raise ValueError(
+                f"phrase prefix '{pre}*' expands to {len(terms)} terms "
+                f"(> max_expansion={max_expansion}) — narrow the prefix "
+                "or raise the cap")
+    all_terms = sorted({t for _, terms in qmap for t in terms[:-1]}
+                       | {t for ts in expanded.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double")
+    t_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    hits = (postings.filter(F.col("field") == FIELD_BODY)
+            .join(F.broadcast(t_df), "term"))
+
+    def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        by_term = _decode_positional_group(g, stats, p)
+        qids, dids, scores = [], [], []
+        for qid, terms in qmap:
+            full, pre = terms[:-1], terms[-1]
+            best: dict[int, float] = {}
+            for e in expanded[pre]:
+                for d, s in _phrase_matches(by_term, full + [e], 0):
+                    if d not in best or s > best[d]:
+                        best[d] = s
+            top = sorted(best.items(), key=lambda ds: (-ds[1], ds[0]))[:k]
+            for d, s in top:
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({
+            "query_id": pd.Series(qids, dtype="int64"),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "score": pd.Series(scores, dtype="float64"),
+        })
+
+    partials = hits.groupBy("segment").applyInPandas(
+        kernel, "query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,

@@ -339,3 +339,44 @@ def test_unordered_window_kernel_vs_exhaustive():
         want = any(max(c) - min(c) <= span
                    for c in itertools.product(*[list(pl) for pl in lists]))
         assert _unordered_window_hit(lists, span) == want, (lists, span)
+
+
+def test_phrase_prefix_matches_brute_force(spark, built):
+    """Best-completion-wins: max over expansions e of the completed
+    phrase's _brute_phrase score, incl. a prefix-only query."""
+    from dlkp_spark.query.phrase import phrase_prefix_topk
+
+    idx, toks = built
+    some = next(ts for ts in toks.values() if len(ts) >= 3)
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    pre2 = some[1][:2]  # live bigram with a prefixed second slot
+    queries = [(0, [some[0], pre2]), (1, [some[0][:3]]),
+               (2, ["w0002", "zzznothere"])]
+    got = phrase_prefix_topk(spark, idx, queries, BM25Params(), k=K)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in queries:
+        full, pre = terms[:-1], terms[-1]
+        exps = [t for t in vocab if t.startswith(pre)]
+        best = {}
+        for e in exps:
+            for d, s in _brute_phrase(toks, full + [e], len(toks)):
+                if d not in best or s > best[d]:
+                    best[d] = s
+        want = sorted(best.items(), key=lambda ds: (-ds[1], ds[0]))[:K]
+        have = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in have] == [d for d, _ in want], (qid, terms)
+        for (_, _, s), (_, ws) in zip(have, want):
+            assert s == pytest.approx(ws, rel=1e-12)
+    assert by_q.get(0) and by_q.get(1)
+
+
+def test_phrase_prefix_expansion_guard(spark, built):
+    from dlkp_spark.query.phrase import phrase_prefix_topk
+
+    idx, _toks = built
+    with pytest.raises(ValueError, match="max_expansion"):
+        phrase_prefix_topk(spark, idx, [(0, ["w"])], BM25Params(), k=K,
+                           max_expansion=1)
