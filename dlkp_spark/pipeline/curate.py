@@ -112,10 +112,12 @@ def curate_webtext(docs: DataFrame,
     """
     from pyspark.sql import functions as F
 
+    from dlkp_spark.cache import persist as _persist
     from dlkp_spark.pipeline.lm import collect_lm, lm_nats, train_bigram_lm
     from dlkp_spark.pipeline.pii import PII_RULES
     from dlkp_spark.pipeline.sampling import chunk_documents
     from dlkp_spark.pipeline.textstats import langid_expr
+    from dlkp_spark.pipeline.util import spread
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda x: x != F.lit(""))
@@ -123,14 +125,21 @@ def curate_webtext(docs: DataFrame,
     dup_frac = F.when(
         n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double")
     ).otherwise(F.lit(0.0))
-    gated = docs.filter(langid_expr(text_col).isin(list(languages))
-                        & (dup_frac <= max_dup_word_frac))
+    gated = spread(docs.select(id_col, text_col), id_col) \
+        .filter(langid_expr(text_col).isin(list(languages))
+                & (dup_frac <= max_dup_word_frac))
     scrub = F.col(text_col)
     for _name, pat, tok in PII_RULES:
         scrub = F.regexp_replace(scrub, pat, tok)
     scrubbed = gated.select(F.col(id_col).alias("doc_id"),
                             scrub.alias("text"))
-    kept = exact_dedup(scrubbed, text_col="text", id_col="doc_id")
+    # persisted (r6): the LM phase alone drives several actions over the
+    # survivors (pair-table materialization, vocab count, model collect)
+    # and the final plan reads them twice more (scoring pass + keep
+    # join) — without a persist each action re-runs the langid gate, the
+    # PII regex chain and the dedup window from the scan (measured ~5×
+    # recompute of the whole upstream chain at sf1.0).
+    kept = _persist(exact_dedup(scrubbed, text_col="text", id_col="doc_id"))
     uni, bi, vocab = train_bigram_lm(kept)
     u, b = collect_lm(uni, bi)
     scores = lm_nats(kept.sparkSession, kept, u, b, vocab)

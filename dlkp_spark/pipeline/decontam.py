@@ -52,7 +52,9 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     contaminated n-grams, a useful severity signal (1 shared 13-gram is
     usually boilerplate; hundreds is a verbatim benchmark copy).
     """
-    doc_grams = docs.select(
+    from dlkp_spark.pipeline.util import spread
+
+    doc_grams = spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
     eval_grams = (eval_docs.select(

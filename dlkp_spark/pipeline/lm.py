@@ -30,6 +30,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dlkp_spark.cache import persist as _persist
+from dlkp_spark.pipeline.util import spread
+
 _SPLIT = r"\s+"
 
 
@@ -57,11 +60,18 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
     stream, pair counts c(v, w) with ``c >= min_count``, and the corpus
     vocabulary size V (distinct tokens, all positions). c(v) is counted
     BEFORE pruning so probabilities still sum to ≤1 per context."""
-    pairs = bigram_pairs(docs, text_col)
-    uni = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    bi = (pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
-          .filter(F.col("c") >= min_count))
-    vocab = (docs.select(F.explode(_tokens(text_col)).alias("t"))
+    src = spread(docs.select(text_col))
+    pairs = bigram_pairs(src, text_col)
+    # ONE corpus scan trains both tables (r6): the unpruned pair counts
+    # are persisted (vocabulary²-bounded, small) and c(v) is derived from
+    # them as Σ_w c(v, w) — identical counts to grouping the raw pair
+    # stream, since every pair occurrence has exactly one context. The
+    # former separate uni/bi groupBys re-exploded the corpus per table
+    # (and per downstream count/collect action).
+    bi_full = _persist(pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c")))
+    uni = bi_full.groupBy("v").agg(F.sum("c").alias("c"))
+    bi = bi_full.filter(F.col("c") >= min_count)
+    vocab = (src.select(F.explode(_tokens(text_col)).alias("t"))
              .agg(F.count_distinct("t").alias("v")).collect()[0]["v"])
     return uni, bi, int(vocab)
 
@@ -72,13 +82,19 @@ def collect_lm(uni: DataFrame, bi: DataFrame,
     raises if the (pruned) model exceeds ``max_entries`` rows — at that
     point raise ``min_count``, not this limit (same bounded-collect
     discipline as the IVF centroid sample)."""
-    n = bi.count() + uni.count()
-    if n > max_entries:
+    # bound enforced with limit(max_entries+1) pushed into the collect
+    # itself (r6): within bound, limit returns every row, so the two
+    # former count() jobs (each a full re-aggregation pass before
+    # train_bigram_lm persisted its table) are folded away; over bound,
+    # the driver holds at most max_entries+1 rows before raising.
+    u_rows = uni.limit(max_entries + 1).collect()
+    b_rows = bi.limit(max_entries + 1).collect()
+    if len(u_rows) + len(b_rows) > max_entries:
         raise ValueError(
-            f"LM has {n} rows > max_entries={max_entries}; "
+            f"LM has > max_entries={max_entries} rows; "
             f"raise min_count to prune before collecting")
-    u = {r["v"]: r["c"] for r in uni.collect()}
-    b = {(r["v"], r["w"]): r["c"] for r in bi.collect()}
+    u = {r["v"]: r["c"] for r in u_rows}
+    b = {(r["v"], r["w"]): r["c"] for r in b_rows}
     return u, b
 
 
@@ -117,5 +133,8 @@ def lm_nats(spark: SparkSession, docs: DataFrame, uni: dict, bi: dict,
                                 "n_bigrams": pd.Series(nb, dtype="int64"),
                                 "nats_per_token": pd.Series(nats, dtype="float64")})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    # spread: the Arrow scoring pass inherits the scan's partitioning —
+    # a 1–2 task local scan would serialize the per-token fold that 32
+    # Python workers can share; no-op at scale (util.spread docstring)
+    return spread(docs.select(id_col, text_col), id_col).mapInPandas(
         score, "doc_id long, n_bigrams long, nats_per_token double")

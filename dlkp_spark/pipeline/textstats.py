@@ -202,13 +202,15 @@ def tfidf_keywords(docs: DataFrame, k: int = 5, text_col: str = "text",
     from pyspark.sql import Window
 
     from dlkp_spark.cache import persist as _persist
+    from dlkp_spark.pipeline.util import spread
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda x: x != F.lit(""))
     # persisted: df and the join both read tf — without it Catalyst
     # re-scans and re-explodes the corpus for the df branch
     tf = _persist(
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        spread(docs.select(id_col, text_col), id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))

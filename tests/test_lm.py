@@ -73,15 +73,28 @@ def test_min_count_prunes_pairs_not_contexts(spark):
 
 
 def test_collect_lm_bounded():
+    # r6 interface: the bound rides on limit(max_entries+1).collect(),
+    # so the driver never holds more than max_entries+1 rows per table
     class FakeDF:
         def __init__(self, n):
             self.n = n
+            self.limited = None
 
-        def count(self):
-            return self.n
+        def limit(self, m):
+            self.limited = m
+            return self
+
+        def collect(self):
+            return [None] * min(self.n, self.limited)
 
     with pytest.raises(ValueError, match="max_entries"):
         collect_lm(FakeDF(3), FakeDF(5), max_entries=7)
+    # the limit must actually be applied (bounded driver memory even when
+    # the aggregate side is huge)
+    big = FakeDF(10**9)
+    with pytest.raises(ValueError, match="max_entries"):
+        collect_lm(big, FakeDF(0), max_entries=7)
+    assert big.limited == 8
 
 
 def test_bigram_pairs_scan_local_until_agg(spark):
