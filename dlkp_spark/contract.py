@@ -87,7 +87,15 @@ def docs_for_engine(spark: SparkSession, sf_dir: str, tagged: bool = False) -> D
     tagged=False → empty keyphrase field (body-only scoring, fully
     SQL-expressible); tagged=True → stand-in tagger output (the dlkp path).
     """
-    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("tokens"))
+    from dlkp_spark.pipeline.util import spread
+
+    # spread (r6): downstream BM25 plans read this frame from several
+    # branches (token-table field union, doclen stats, filters); with the
+    # tokenizer computed BELOW a deterministic exchange, ReuseExchange
+    # dedupes the branches AND the split runs at cluster parallelism
+    # instead of the 1-2 task single-row-group local scan. No-op at scale.
+    d = spread(_docs(spark, sf_dir).select("doc_id", _toks().alias("tokens")),
+               "doc_id")
     if not tagged:
         return d.withColumn("keyphrases", F.array().cast("array<string>"))
     from dlkp_spark.analysis.keyphrase import with_keyphrases

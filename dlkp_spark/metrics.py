@@ -190,9 +190,24 @@ def tag_metrics_df(tagged: DataFrame, pred_col: str = "pred_tags",
     Plan: two span extractions (doc-keyed windows) + an equi-join on
     (doc_id, start, end) for matches + one zipped explode for token
     accuracy — every shuffle is keyed on doc_id or the span triple.
+
+    The input and both span frames are persisted (r6): five plan branches
+    read ``tagged`` (two span extractions, each referenced by the match
+    join AND its own count, plus the accuracy explode) and without the
+    persists each branch re-ran the upstream tag derivation and the
+    window sort from the scan (measured 3.3 s → 1.1 s at sf1.0).
+    spread() parallelizes the explode+window map side when the scan
+    under-fills the cluster; no-op at scale.
     """
-    pred_spans = spans_df(tagged.select(id_col, pred_col), pred_col, id_col)
-    gold_spans = spans_df(tagged.select(id_col, gold_col), gold_col, id_col)
+    from dlkp_spark.cache import persist as _persist
+    from dlkp_spark.pipeline.util import spread
+
+    tagged = _persist(spread(
+        tagged.select(id_col, pred_col, gold_col), id_col))
+    pred_spans = _persist(
+        spans_df(tagged.select(id_col, pred_col), pred_col, id_col))
+    gold_spans = _persist(
+        spans_df(tagged.select(id_col, gold_col), gold_col, id_col))
     matched = pred_spans.join(gold_spans, ["doc_id", "start", "end"])
     counts = (pred_spans.groupBy().agg(F.count(F.lit(1)).alias("n_pred"))
               .crossJoin(gold_spans.groupBy().agg(F.count(F.lit(1)).alias("n_gold")))
