@@ -98,7 +98,11 @@ def _delete_adjustments(spark, postings, stats: dict) -> tuple[dict, "object", i
         removed = {int(r["field"]): int(r["dl_removed"]) for r in agg}
         new_stats = dict(stats)
         new_stats["n_docs"] = stats["n_docs"] - n_deleted
-        assert new_stats["n_docs"] > 0, "deletes would empty the index"
+        if new_stats["n_docs"] <= 0:
+            # data-dependent invariant — must survive python -O (a bare
+            # assert is stripped and the purge would divide by zero
+            # computing avgdl, leaving a partially written output dir)
+            raise ValueError("deletes would empty the index")
         new_stats["dl_sums"] = {
             f: stats["dl_sums"][f] - removed.get(f, 0) for f in (0, 1)}
         new_stats["avgdl"] = {

@@ -148,9 +148,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
     # bucket-size cap via a count window over (band, bucket) — one shuffle
     # shared with the self-join partitioning, no aggregate+join-back branch
     wn = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    band_rows = (band_rows.withColumn("_n", wn)
-                 .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-                 .drop("_n"))
+    # persisted: both self-join sides read the capped band rows — without
+    # it each side re-runs the band explode and the count window's shuffle
+    band_rows = _persist(band_rows.withColumn("_n", wn)
+                         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+                         .drop("_n"))
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
@@ -253,20 +255,28 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     # no aggregate+join-back branch (the window and the subsequent
     # self-join share the (band, key) partitioning)
     wn = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-    keys = (keys.withColumn("_n", wn)
-            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)).drop("_n"))
+    # persisted: both self-join sides read the capped key rows — without
+    # it each side re-runs the band explode and the count window's shuffle
+    keys = _persist(keys.withColumn("_n", wn)
+                    .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+                    .drop("_n"))
     x = keys.alias("x")
     y = keys.alias("y")
     cands = (x.join(y, (F.col("x.band") == F.col("y.band"))
                     & (F.col("x.key") == F.col("y.key"))
                     & (F.col("x.doc_id") < F.col("y.doc_id")))
              .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
-                     F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
-             .distinct())
+                     F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb")))
+    # hamming verify BEFORE the dedup shuffle (r6): bit_count(xor) is a
+    # scan-local function of the pair, so filtering first shrinks the
+    # distinct's exchange from every banded candidate replica (4.6M rows
+    # at sf1.0) to the verified survivors (≤ bands × |pairs|) — identical
+    # output, the filter and distinct commute
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cands.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+            .select("a", "b", "hamming")
+            .distinct())
 
 
 def span_dedup(docs: DataFrame, k: int = 5, text_col: str = "text",

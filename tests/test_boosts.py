@@ -37,6 +37,14 @@ def test_parse_boosts():
         _parse_boosts([(0, ["a^0"])])
     with pytest.raises(ValueError, match="boost must be > 0"):
         _parse_boosts([(0, ["a^-2"])])
+    # conflicting weights for one deduped term must raise, not last-win
+    with pytest.raises(ValueError, match="conflicting boosts"):
+        _parse_boosts([(0, ["a^2", "a^3"])])
+    with pytest.raises(ValueError, match="conflicting boosts"):
+        _parse_boosts([(0, ["a^2", "a"])])
+    # exact repeats stay allowed (dedup makes them one clause anyway)
+    clean2, w2 = _parse_boosts([(0, ["a^2", "a^2", "b", "b"])])
+    assert w2 == {(0, "a"): 2.0}
 
 
 def test_boosts_reorder_and_weight_one_is_identity(spark, built):

@@ -91,6 +91,45 @@ def test_collapse_values_unique_and_null_grouped(spark, index_dir):
         assert len(vals) == len({v if v is not None else "\0" for v in vals})
 
 
+def test_collapse_attributeless_segment_ranks_in_null_group(spark, tmp_path):
+    """A segment where NO doc carries the collapse attribute must still
+    rank its docs (shared null group) — the r6 left-join fix; the former
+    inner join against the attr sidecar dropped the whole segment."""
+    docs = prepare_docs(generate_web_pages(spark, 128, seed=31))
+    docs = docs.withColumn(
+        "lang", F.when(F.col("doc_id") < 64, None).otherwise(F.col("lang")))
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d,
+                cfg=IndexConfig(segment_docs=64, block_size=16,
+                                n_term_partitions=8),
+                n_shards=1, attrs=("lang",), n_docs=128)
+    doc_lang = {int(r["doc_id"]): r["lang"]
+                for r in docs.select("doc_id", "lang").collect()}
+    qs = QUERIES[:4]
+    got_rows = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"], r["value"])
+        for r in collapse_topk(spark, d, qs, "lang", P, k=K).collect())
+    full = batch_topk(spark, d, qs, P, k=128).collect()
+    want_rows = []
+    for qid in sorted({q for q, _ in qs}):
+        ranked = sorted((r["rank"], r["doc_id"], r["score"])
+                        for r in full if r["query_id"] == qid)
+        seen, rank = set(), 0
+        for _, did, score in ranked:
+            v = doc_lang[did]
+            key = v if v is not None else "\0null"
+            if key in seen:
+                continue
+            seen.add(key)
+            rank += 1
+            want_rows.append((qid, rank, did, score, v))
+            if rank >= K:
+                break
+    assert got_rows == sorted(want_rows)
+    # the attribute-less segment's docs must actually be present
+    assert any(did < 64 for _, _, did, _, _ in got_rows)
+
+
 def test_collapse_requires_attr(spark, index_dir):
     with pytest.raises(ValueError, match="attribute postings"):
         collapse_topk(spark, index_dir, QUERIES, "nope", P, k=K)

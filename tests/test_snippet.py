@@ -69,3 +69,15 @@ def test_snippet_composes_with_filters_kwargs(spark, built):
     out = snippet_topk(spark, d, docs, [(0, ["w001"])], BM25Params(), k=10,
                        deletes=dels).collect()
     assert out and all(r.doc_id % 2 == 1 for r in out)
+
+
+def test_snippet_all_query_terms_oov_returns_empty(spark, built):
+    """No query term in the index's body field → empty frame with the
+    snippet schema (r6 ADVICE fix: the anchor expression used to index
+    into a None df map and raise TypeError)."""
+    d, docs, _ = built
+    out = snippet_topk(spark, d, docs, [(0, ["zzznotaterm"])],
+                       BM25Params(), k=5)
+    assert out.columns == ["query_id", "rank", "doc_id", "score",
+                           "anchor", "snippet"]
+    assert out.count() == 0
