@@ -3329,11 +3329,10 @@ def q_lm_perplexity(spark, sf_dir):
     score every doc's nats-per-token in one scan-local Arrow pass with a
     left-to-right scalar-libm fold — the order/libm contract the oracle
     replays via list(logp ORDER BY i) + list_reduce and DuckDB ln."""
-    from dlkp_spark.pipeline.lm import collect_lm, lm_nats, train_bigram_lm
+    from dlkp_spark.pipeline.lm import fit_lm, lm_nats
 
     d = _docs(spark, sf_dir)
-    uni, bi, vocab = train_bigram_lm(d)
-    u, b = collect_lm(uni, bi)
+    u, b, vocab = fit_lm(d)
     return lm_nats(spark, d, u, b, vocab).orderBy("doc_id")
 
 

@@ -75,8 +75,18 @@ def prepare_docs(web_pages: DataFrame, validate: bool = True,
     inference pass.
     """
     from dlkp_spark.analysis.keyphrase import analyze_and_tag
+    from dlkp_spark.pipeline.util import spread
 
-    tagged = analyze_and_tag(web_pages, validate=validate, tagger=tagger)
+    # spread (r6, guide §2/§4): the fused Python pass inherits the SOURCE
+    # scan's partitioning; a small local parquet input packs into 1-2 scan
+    # tasks (openCostInBytes file packing), serializing per-doc Python work
+    # 32 cores could share — measured 4.8 s single-core for 20k docs,
+    # run TWICE by token_table's union branches. Repartitioning below the
+    # Arrow pass (a) spreads it to cluster parallelism and (b) gives both
+    # union branches one deterministic exchange to reuse (ReuseExchange),
+    # so the shuffle is paid once. No-op on many-file production scans.
+    tagged = analyze_and_tag(spread(web_pages, "url"), validate=validate,
+                             tagger=tagger)
     return with_doc_ids(tagged, n_docs=n_docs,
                         key_source=web_pages.select("url"))
 

@@ -28,17 +28,30 @@ _SPLIT = r"\s+"
 def word_ngrams(text: Column, n: int, split_pattern: str = _SPLIT) -> Column:
     """array<string> of space-joined word ``n``-grams of ``text``.
 
-    Pure built-ins (split → filter-empties → transform over a sequence of
-    start offsets → slice+array_join), so the whole construction stays
-    JVM-side inside the scan stage. Texts with fewer than ``n`` words
-    yield an empty array — the ``when`` guard matters because
-    ``sequence(1, 0)`` would DESCEND ([1, 0]), not return empty.
+    Pure built-ins, so the whole construction stays JVM-side inside the
+    scan stage. Texts with fewer than ``n`` words yield an empty array —
+    the ``when`` guard matters because ``sequence(1, 0)`` would DESCEND
+    ([1, 0]), not return empty.
+
+    Shape notes (r6, guide §2.3): the token array is bound ONCE via a
+    1-element-array ``transform`` (a let-expression Catalyst lacks —
+    otherwise every sub-expression re-runs the split per gram), and each
+    gram is ``concat_ws`` of ``n`` element accesses instead of
+    ``slice``+``array_join`` (no per-gram subarray allocation). Measured
+    2.25 s → 0.44 s for the sf1.0 gram stream; output bit-identical.
     """
     toks = F.filter(F.split(text, split_pattern), lambda x: x != F.lit(""))
+    return F.get(F.transform(F.array(toks),
+                             lambda ts: ngrams_of_tokens(ts, n)), 0)
+
+
+def ngrams_of_tokens(ts: Column, n: int) -> Column:
+    """Space-joined ``n``-grams of an already-bound token array column —
+    for callers that let-bind the tokens themselves (repetition_stats)."""
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.get(ts, i - 1 + j) for j in range(n)]))
+    return F.when(F.size(ts) >= n, grams).otherwise(
         F.array().cast("array<string>"))
 
 

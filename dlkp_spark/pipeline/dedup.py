@@ -77,6 +77,21 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3, n: int = 3,
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def _minhash_sig_col(n_hashes: int, shingles_col: str = "shingles"):
+    """The scan-local minhash fold over a shingle array column:
+    ``sig[j] = min over shingles of murmur3(sh, j)`` as ONE ``aggregate``
+    whose state is the n_hashes-vector of running minima. Shared by
+    :func:`minhash_signatures` and :func:`minhash_lsh_pairs` so both
+    produce bit-identical hash values from the same expression."""
+    init = F.array(*[F.lit(2147483647) for _ in range(n_hashes)])
+    mins = F.aggregate(
+        shingles_col, init,
+        lambda acc, s: F.zip_with(
+            acc, F.array(*[F.hash(s, F.lit(j)) for j in range(n_hashes)]),
+            lambda a, b: F.least(a, b)))
+    return F.transform(mins, lambda v: v.cast("long"))
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sig array<long>) — minhash over token n-gram shingles.
@@ -98,13 +113,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, n: int = 3,
     """
     sh = with_shingles(spread(docs.select(id_col, text_col), id_col),
                        text_col, n)
-    init = F.array(*[F.lit(2147483647) for _ in range(n_hashes)])
-    mins = F.aggregate(
-        "shingles", init,
-        lambda acc, s: F.zip_with(
-            acc, F.array(*[F.hash(s, F.lit(j)) for j in range(n_hashes)]),
-            lambda a, b: F.least(a, b)))
-    sig = F.transform(mins, lambda v: v.cast("long"))
+    sig = _minhash_sig_col(n_hashes)
     # NB: no null guard on shingles — with_shingles returns an array on
     # both when-branches (null/empty text yields a 1-element array), and
     # a filter on the complex shingle expression defeats Catalyst's
@@ -133,11 +142,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
     """
     r = n_hashes // bands
     docs = spread(docs.select(id_col, text_col), id_col)
-    # the signature and shingle subplans are each referenced by several
-    # downstream branches (band sizes, both join sides, verify) — without
-    # a persist Spark recomputes the full shingle+hash pipeline per
-    # branch (measured ~10× slowdown)
-    sig = _persist(minhash_signatures(docs, n_hashes, n, text_col, id_col))
+    # ONE persisted shingle frame feeds both the signature fold and the
+    # exact-Jaccard verify (r6): the former separate minhash_signatures
+    # call re-ran the whole shingle construction a second time (measured
+    # 0.9 s of the 4.5 s wall at sf1.0). The fold expression is shared
+    # with minhash_signatures, so hash values stay bit-identical.
+    sh = _persist(with_shingles(docs, text_col, n)
+                  .select(F.col(id_col).alias("id"), F.col("shingles")))
+    sig = sh.select(F.col("id").alias("doc_id"),
+                    _minhash_sig_col(n_hashes).alias("sig"))
     band_rows = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -160,8 +173,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.3, n_hashes: int = 6
                     & (F.col("x.doc_id") < F.col("y.doc_id")))
              .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
              .distinct())
-    sh = _persist(with_shingles(docs, text_col, n).select(
-        F.col(id_col).alias("id"), F.col("shingles")))
     verified = (cands
                 .join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sa")), "a")
                 .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("sb")), "b")
@@ -201,6 +212,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     follows: bit j set iff 2*ones_j > n_tokens, identical to the signed
     +/-1 formulation. Single shuffle keyed on doc_id with map-side partial
     aggregation; measured 2x faster than the naive 64-agg at sf0.1.
+    (r6 note: an A/B against a scan-local 33-long array ``aggregate`` fold
+    — no Exchange at all — measured SLOWER, 2.2 s vs 1.7 s signatures at
+    sf1.0: the map-side partial agg already shrinks the exchange to one
+    33-long row per doc, while the per-token zip_with allocates a fresh
+    state array per token. Kept the groupBy shape deliberately.)
 
     ``token_hash``: Column-factory for the per-token hash — default
     ``xxhash64`` (production: best bit diffusion); inject

@@ -76,6 +76,41 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
     return uni, bi, int(vocab)
 
 
+def fit_lm(docs: DataFrame, text_col: str = "text", min_count: int = 1,
+           max_entries: int = 5_000_000) -> tuple[dict, dict, int]:
+    """Train + collect in ONE driver action (r6): the former
+    ``train_bigram_lm`` → ``collect_lm`` sequence ran three jobs (uni
+    collect, bi collect, vocab count-distinct), each a separate barrier
+    over the same persisted pair table. Here the three bounded results
+    ride one unioned collect — the pair-table persist materializes inside
+    it, the vocab branch scans in parallel with it, and the model reaches
+    the driver in a single pass. Counts and vocab are identical to the
+    two-step API (same aggregations, same ``min_count`` pruning,
+    same ``max_entries`` bound)."""
+    src = spread(docs.select(text_col))
+    pairs = bigram_pairs(src, text_col)
+    bi_full = _persist(pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c")))
+    uni = bi_full.groupBy("v").agg(F.sum("c").alias("c"))
+    bi = bi_full.filter(F.col("c") >= min_count)
+    nul = F.lit(None).cast("string")
+    u_part = (uni.limit(max_entries + 1)
+              .select("v", nul.alias("w"), "c", F.lit(0).alias("tag")))
+    b_part = (bi.limit(max_entries + 1)
+              .select("v", "w", "c", F.lit(1).alias("tag")))
+    v_part = (src.select(F.explode(_tokens(text_col)).alias("t"))
+              .agg(F.count_distinct("t").alias("c"))
+              .select(nul.alias("v"), nul.alias("w"), "c", F.lit(2).alias("tag")))
+    rows = u_part.unionByName(b_part).unionByName(v_part).collect()
+    u = {r["v"]: r["c"] for r in rows if r["tag"] == 0}
+    b = {(r["v"], r["w"]): r["c"] for r in rows if r["tag"] == 1}
+    vocab = next(int(r["c"]) for r in rows if r["tag"] == 2)
+    if len(u) + len(b) > max_entries:
+        raise ValueError(
+            f"LM has > max_entries={max_entries} rows; "
+            f"raise min_count to prune before collecting")
+    return u, b, vocab
+
+
 def collect_lm(uni: DataFrame, bi: DataFrame,
                max_entries: int = 5_000_000) -> tuple[dict, dict]:
     """Driver-side model tables for broadcast. BOUNDED by contract:

@@ -132,6 +132,14 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     100 TB this filter costs exactly one corpus scan, like the other
     textstats. Each fraction is a single int/int division rounded to 6
     (the same op in the SQL oracle → bit-stable gate).
+
+    Shape note (r6): kept as a FLAT projection deliberately. A
+    let-bound-struct rewrite (one tokenize feeding all four consumers)
+    was A/B'd and rejected: per-field struct references re-evaluate the
+    struct (no CSE across Project outputs), and the inline()/Generate
+    materialization barrier that fixes that also blocks the optimizer
+    from pruning this projection under count()-style actions — pure
+    column pruning is worth more here than the duplicate tokenize.
     """
     from dlkp_spark.pipeline.decontam import word_ngrams
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dlkp_spark.config import FIELD_KP, BM25Params
-from dlkp_spark.index.build import corpus_stats, token_table
+from dlkp_spark.index.build import corpus_stats, doclen_table, token_table
 
 
 def exact_topk(
@@ -57,8 +57,16 @@ def exact_topk(
     """
     p = p or BM25Params()
     k = k or p.k
-    stats = stats or corpus_stats(docs)
-    n_docs = stats["n_docs"]
+    # stats fold (r6, guide §1.2/§5): with no precomputed stats, derive
+    # (n_docs, per-field avgdl) INSIDE the query plan as a broadcast 1-row
+    # aggregate instead of a separate driver collect job — the old
+    # corpus_stats() call ran a full tokenize pass + job barrier before the
+    # main query even planned (measured 0.5 s + ~0.5 s barrier at sf1.0).
+    # Long sums / counts divide identically in JVM double arithmetic and
+    # Python (both IEEE-754 on < 2^53 ints), so scores are bit-unchanged.
+    fold_stats = stats is None
+    if not fold_stats:
+        n_docs = stats["n_docs"]
 
     tokens = token_table(docs)
     # broadcast the query terms FIRST: the full-table (tokens ⋈ df) join
@@ -75,10 +83,23 @@ def exact_topk(
     hits = (term_rows.withColumn("df", F.count(F.lit(1)).over(w_df))
             .join(F.broadcast(q), "term"))
 
-    avgdl = F.when(F.col("field") == FIELD_KP, F.lit(stats["avgdl"][FIELD_KP])) \
-             .otherwise(F.lit(stats["avgdl"][0]))
+    if fold_stats:
+        fb, fk = F.col("field") == F.lit(0), F.col("field") == F.lit(FIELD_KP)
+        srow = (doclen_table(docs).groupBy().agg(
+            F.sum(F.when(fb, F.col("dl"))).alias("_dl0"),
+            F.count(F.when(fb, F.lit(1))).alias("_n"),
+            F.sum(F.when(fk, F.col("dl"))).alias("_dl1")))
+        hits = hits.crossJoin(F.broadcast(srow))
+        n_docs_c = F.col("_n").cast("double")
+        avgdl = F.when(F.col("field") == FIELD_KP,
+                       F.col("_dl1").cast("double") / n_docs_c) \
+                 .otherwise(F.col("_dl0").cast("double") / n_docs_c)
+    else:
+        n_docs_c = F.lit(float(stats["n_docs"]))
+        avgdl = F.when(F.col("field") == FIELD_KP, F.lit(stats["avgdl"][FIELD_KP])) \
+                 .otherwise(F.lit(stats["avgdl"][0]))
     boost = F.when(F.col("field") == FIELD_KP, F.lit(p.kp_boost)).otherwise(F.lit(1.0))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+    idf = F.log(F.lit(1.0) + (n_docs_c - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
