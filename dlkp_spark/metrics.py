@@ -187,42 +187,77 @@ def tag_metrics_df(tagged: DataFrame, pred_col: str = "pred_tags",
     """(doc_id, pred_tags, gold_tags) → one row of micro tag-level metrics:
     (n_pred, n_gold, n_matched, precision, recall, f1, accuracy).
 
-    Plan: two span extractions (doc-keyed windows) + an equi-join on
-    (doc_id, start, end) for matches + one zipped explode for token
-    accuracy — every shuffle is keyed on doc_id or the span triple.
+    SCAN-LOCAL (r6): a doc's spans are a pure function of its own tags
+    arrays, so span starts/ends, the matched-span count and the token
+    accuracy are all computed per row with array built-ins (a start is a
+    non-O tag at 0 / after O / tagged B; its span ends before the first
+    subsequent non-I; a pred span matches when gold starts at the same
+    position with the same end) and reduced by ONE tiny global aggregate
+    of five long counters. The former plan — two posexplode + doc-window
+    span extractions, a span equi-join, a zipped explode, three persisted
+    subframes — shuffled the exploded token stream several times to
+    recombine per-doc information (measured 2.62 s → 0.44 s at sf1.0;
+    output bit-identical: counts are exact longs, and the final
+    divisions see the same integer operands). :func:`spans_df` remains
+    the distributed extraction for callers that need the span ROWS of
+    arbitrarily long token streams; here each doc's tags array is
+    row-bounded, so the fold shape wins.
 
-    The input and both span frames are persisted (r6): five plan branches
-    read ``tagged`` (two span extractions, each referenced by the match
-    join AND its own count, plus the accuracy explode) and without the
-    persists each branch re-ran the upstream tag derivation and the
-    window sort from the scan (measured 3.3 s → 1.1 s at sf1.0).
-    spread() parallelizes the explode+window map side when the scan
-    under-fills the cluster; no-op at scale.
+    Every per-row expression lives inside one ``transform`` lambda over a
+    1-element bound array (the let-expression shape, see
+    decontam.word_ngrams) so the tags arrays are evaluated once per row
+    however many sub-expressions read them.
     """
-    from dlkp_spark.cache import persist as _persist
-    from dlkp_spark.pipeline.util import spread
 
-    tagged = _persist(spread(
-        tagged.select(id_col, pred_col, gold_col), id_col))
-    pred_spans = _persist(
-        spans_df(tagged.select(id_col, pred_col), pred_col, id_col))
-    gold_spans = _persist(
-        spans_df(tagged.select(id_col, gold_col), gold_col, id_col))
-    matched = pred_spans.join(gold_spans, ["doc_id", "start", "end"])
-    counts = (pred_spans.groupBy().agg(F.count(F.lit(1)).alias("n_pred"))
-              .crossJoin(gold_spans.groupBy().agg(F.count(F.lit(1)).alias("n_gold")))
-              .crossJoin(matched.groupBy().agg(F.count(F.lit(1)).alias("n_matched"))))
-    acc = (tagged.select(F.explode(F.zip_with(pred_col, gold_col,
-                                              lambda p, g: (p == g).cast("int")))
-                         .alias("ok"))
-           .groupBy().agg(F.round(F.avg("ok"), 6).alias("accuracy")))
+    def _starts(ts):
+        n = F.size(ts)
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+
+        def is_start(i):
+            tag = F.get(ts, i)
+            prev = F.get(ts, i - 1)
+            return (tag != F.lit("O")) & (
+                (tag == F.lit("B")) | (i == 0) | (prev == F.lit("O")))
+
+        return F.filter(idx, is_start)
+
+    def _span_end(ts, s):
+        # first j > s whose tag != 'I', minus 1; last index if none
+        n = F.size(ts)
+        tail = F.when(s + 1 <= n - 1, F.sequence(s + 1, n - 1)) \
+                .otherwise(F.array().cast("array<int>"))
+        nxt = F.filter(tail, lambda j: F.get(ts, j) != F.lit("I"))
+        return F.coalesce(F.get(nxt, 0) - 1, n - 1)
+
+    def _inner(p, g):
+        sp = _starts(p)
+        sg = _starts(g)
+        matched = F.filter(sp, lambda s: F.array_contains(sg, s)
+                           & (_span_end(p, s) == _span_end(g, s)))
+        okv = F.zip_with(p, g, lambda a, b: (a == b).cast("int"))
+        return F.struct(
+            F.size(sp).cast("long").alias("n_pred"),
+            F.size(sg).cast("long").alias("n_gold"),
+            F.size(matched).cast("long").alias("n_matched"),
+            F.aggregate(okv, F.lit(0).cast("long"), lambda a, x: a + x).alias("ok"),
+            F.size(p).cast("long").alias("n_tok"))
+
+    bound = F.array(F.struct(F.col(pred_col).alias("p"), F.col(gold_col).alias("g")))
+    m = tagged.select(
+        F.get(F.transform(bound, lambda b: _inner(b["p"], b["g"])), 0).alias("m"))
+    agg = m.groupBy().agg(
+        F.sum("m.n_pred").alias("n_pred"), F.sum("m.n_gold").alias("n_gold"),
+        F.sum("m.n_matched").alias("n_matched"),
+        F.sum("m.ok").alias("oks"), F.sum("m.n_tok").alias("n_tok"))
     p = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
     r = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
     f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
-    return (counts.crossJoin(acc)
-            .select("n_pred", "n_gold", "n_matched",
-                    F.round(p, 6).alias("precision"), F.round(r, 6).alias("recall"),
-                    F.round(f1, 6).alias("f1"), "accuracy"))
+    return agg.select(
+        "n_pred", "n_gold", "n_matched",
+        F.round(p, 6).alias("precision"), F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(F.col("oks") / F.col("n_tok"), 6).alias("accuracy"))
 
 
 def rank_identity_report(got: list[tuple[int, int, float]],
