@@ -492,7 +492,8 @@ def analyze_and_tag(web_pages: DataFrame, validate: bool = True,
 
 def with_keyphrases(docs: DataFrame, score_method: str = "avg",
                     tokens_col: str = "tokens", decode: str = "greedy",
-                    sortish: bool = False, tagger=None) -> DataFrame:
+                    sortish: bool = False, tagger=None,
+                    project: tuple[str, ...] | None = None) -> DataFrame:
     """docs(+tokens array<string>) → +keyphrases array<string>,
     +kp_scores array<float>.
 
@@ -507,22 +508,32 @@ def with_keyphrases(docs: DataFrame, score_method: str = "avg",
     each Arrow batch to near-uniform lengths instead of the partition max —
     no shuffle (sortWithinPartitions), results identical either way
     (per-row function), only the batch composition changes.
+
+    ``project`` (r6, guide §4.1 "pass only the columns the function
+    needs"): names of INPUT columns to carry into the output. mapInPandas
+    ships every declared output column back through Arrow, so a caller
+    that only wants (doc_id, keyphrases) otherwise pays the round-trip of
+    the wide token arrays it is about to drop. Default None keeps every
+    input column (unchanged behavior); ``tokens_col`` always crosses
+    INTO the pass either way.
     """
     if sortish:
         from pyspark.sql import functions as F
 
         docs = docs.sortWithinPartitions(F.size(tokens_col))
+    keep = [f.name for f in docs.schema.fields] if project is None \
+        else list(project)
+    by_name = {f.name: f for f in docs.schema.fields}
     out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
+        f"{n} {by_name[n].dataType.simpleString()}" for n in keep)
     schema = f"{out_fields}, keyphrases array<string>, kp_scores array<float>"
-    cols = [f.name for f in docs.schema.fields]
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (model load would happen here, once per partition)
         for pdf in batches:
             results = pdf[tokens_col].map(
                 lambda toks: tag_and_extract(list(toks), score_method, decode, tagger))
-            pdf = pdf[cols].copy()
+            pdf = pdf[keep].copy()
             pdf["keyphrases"] = results.map(lambda r: r[0])
             pdf["kp_scores"] = results.map(lambda r: r[1])
             yield pdf

@@ -1320,7 +1320,15 @@ def q_keyphrase_extract(spark, sf_dir):
     so no DuckDB oracle can replay the BIO path. The decode state machine
     itself is pytest-pinned against the pure-Python port (test_keyphrase),
     and its SQL-expressible surface is oracle-gated via tag_metrics."""
-    docs = docs_for_engine(spark, sf_dir, tagged=True)
+    from dlkp_spark.analysis.keyphrase import with_keyphrases
+    from dlkp_spark.pipeline.util import spread
+
+    # project=("doc_id",): only (doc_id, keyphrases) ride the Arrow
+    # boundary back — the wide token arrays this query immediately drops
+    # otherwise cross JVM↔Python twice (guide §4.1)
+    d = spread(_docs(spark, sf_dir).select("doc_id", _toks().alias("tokens")),
+               "doc_id")
+    docs = with_keyphrases(d, project=("doc_id",))
     return (docs.select("doc_id", F.explode("keyphrases").alias("keyphrase"))
             .groupBy("keyphrase").agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), "keyphrase").limit(100))
