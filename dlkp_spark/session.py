@@ -55,6 +55,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Long-lived sessions accumulate status-store state per job/stage/
+        # SQL execution even with the UI off (bench.py documents a measured
+        # 3-5x tax on late queries of a ~500-stage JVM). Bounded retention
+        # and a periodic context-cleaner GC keep a many-query session's
+        # listener and reference overhead flat; the same caps are sane on a
+        # production driver that serves thousands of queries (r6).
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
