@@ -309,6 +309,8 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
     n_docs = stats["n_docs"]
 
     def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dlkp_spark.index.codec import encode_postings_multi
+
         terms = pdf["term"].to_numpy()
         fields = pdf["field"].to_numpy()
         segments = pdf["segment"].to_numpy()
@@ -324,11 +326,29 @@ def _encode_partition(stats: dict, cfg: IndexConfig):
             | (segments[1:] != segments[:-1]))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [n]))
+        if not positional:
+            # cross-group vectorized encode (r6): ~10^5 tiny groups per
+            # partition made per-group encode_postings calls (≈8 small
+            # numpy dispatches each) the kernel's dominant cost; one flat
+            # pass is bit-identical (tests/test_codec.py parity test)
+            idfs = np.array([idf_fn(n_docs, int(x)) for x in dfg[starts]])
+            avgdls = np.array([avgdl[int(f)] for f in fields[starts]])
+            multi = encode_postings_multi(doc_ids, tfs, dls, starts, ends,
+                                          idfs, avgdls, cfg.bm25,
+                                          cfg.block_size)
+            return pd.DataFrame({
+                "term": terms[starts], "field": fields[starts].astype("int32"),
+                "segment": segments[starts].astype("int64"),
+                "df": dfg[starts].astype("int64"),
+                "n_postings": multi["n_postings"],
+                "docs_vb": multi["docs_vb"], "tfs_vb": multi["tfs_vb"],
+                "dls_vb": multi["dls_vb"], "block_max": multi["block_max"],
+                "block_last": multi["block_last"],
+                "max_contrib": multi["max_contrib"],
+            })
         cols = ["term", "field", "segment", "df", "n_postings",
                 "docs_vb", "tfs_vb", "dls_vb", "block_max",
-                "block_last", "max_contrib"]
-        if positional:
-            cols.append("pos_vb")
+                "block_last", "max_contrib", "pos_vb"]
         out = {k: [] for k in cols}
         for s, e in zip(starts, ends):
             fld = int(fields[s])

@@ -22,11 +22,15 @@ import numpy as np
 from dlkp_spark.config import BM25Params
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def _varbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode → (uint8 byte array, bytes-per-value).
+
+    The per-value byte counts let callers slice the stream into
+    sub-streams (varbyte is self-delimiting, so the concatenation of
+    per-group slices is exactly the per-group encodings)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -49,6 +53,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     bytes7 = (shifted & np.uint64(0x7F)).astype(np.uint8)
     is_last = pos == np.repeat(ngroups - 1, ngroups)
     out[:] = np.where(is_last, bytes7, bytes7 | np.uint8(0x80))
+    return out, ngroups
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    out, _ = _varbyte_encode_arr(values)
     return out.tobytes()
 
 
@@ -185,6 +195,88 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "n_postings": int(n),
         "max_contrib": float(contribs.max()),
     }
+
+
+def encode_postings_multi(doc_ids: np.ndarray, tfs: np.ndarray,
+                          dls: np.ndarray, starts: np.ndarray,
+                          ends: np.ndarray, idfs: np.ndarray,
+                          avgdls: np.ndarray, p: BM25Params,
+                          block_size: int = 64) -> dict:
+    """Encode MANY (term, field, segment) groups in one vectorized pass.
+
+    ``doc_ids``/``tfs``/``dls`` are the groups' postings concatenated in
+    group order (doc ids sorted asc WITHIN each group); ``starts``/
+    ``ends`` delimit group ``g`` as ``[starts[g], ends[g])`` with groups
+    contiguous (``ends[g] == starts[g+1]``); ``idfs``/``avgdls`` are
+    per-group scalars. Returns dict-of-lists, one entry per group, with
+    the exact fields of :func:`encode_postings`.
+
+    Why (r6, guide §4.2): the build/merge kernels called
+    :func:`encode_postings` once per group — ~8 small-array numpy calls
+    each across ~10^5 tiny groups per partition, so per-call dispatch
+    dominated encode time. Here delta/varbyte/contrib/block-max run ONCE
+    over the flat arrays; per-group work shrinks to slicing the shared
+    byte stream (varbyte is self-delimiting, so slices equal per-group
+    encodings byte-for-byte). Outputs are bit-identical to the per-group
+    encoder (pinned by tests/test_codec.py::test_encode_postings_multi_
+    matches_single): delta/varbyte are integer-exact, and the float
+    contrib arithmetic performs the same elementwise IEEE ops with the
+    per-group scalars broadcast per element.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    counts = ends - starts
+    assert doc_ids.size and bool(np.all(counts > 0)), "empty group"
+    # strictly-increasing doc ids within every group, one vectorized check
+    d = np.diff(doc_ids)
+    bad = d <= 0
+    bad[starts[1:] - 1] = False
+    assert not bad.any(), "doc ids must be strictly increasing"
+
+    deltas = np.empty_like(doc_ids)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[starts] = doc_ids[starts]
+
+    idf_v = np.repeat(np.asarray(idfs, dtype=np.float64), counts)
+    avgdl_v = np.repeat(np.asarray(avgdls, dtype=np.float64), counts)
+    contribs = idf_v * tf_norm_vec(tfs, dls, avgdl_v, p)
+
+    # per-group block boundaries, flat: group g owns nblocks[g] blocks
+    nblocks = (counts + block_size - 1) // block_size
+    tot_blocks = int(nblocks.sum())
+    b0 = np.concatenate(([0], np.cumsum(nblocks)))
+    blk_in_group = np.arange(tot_blocks) - np.repeat(b0[:-1], nblocks)
+    rep_starts = np.repeat(starts, nblocks)
+    blk_starts = rep_starts + blk_in_group * block_size
+    block_max_flat = np.maximum.reduceat(contribs, blk_starts)
+    last_local = np.minimum((blk_in_group + 1) * block_size - 1,
+                            np.repeat(counts, nblocks) - 1)
+    block_last_flat = doc_ids[rep_starts + last_local]
+    max_contrib = np.maximum.reduceat(contribs, starts)
+
+    out: dict[str, list] = {
+        "docs_vb": [], "tfs_vb": [], "dls_vb": [],
+        "block_max": [], "block_last": [],
+        "n_postings": counts.tolist(),
+        "max_contrib": max_contrib.tolist(),
+    }
+    for col, vals in (("docs_vb", deltas.astype(np.uint64)),
+                      ("tfs_vb", tfs.astype(np.uint64)),
+                      ("dls_vb", dls.astype(np.uint64))):
+        buf, nbytes = _varbyte_encode_arr(vals)
+        cb = np.concatenate(([0], np.cumsum(nbytes)))
+        raw = buf.tobytes()
+        lo, hi = cb[starts], cb[ends]
+        out[col] = [raw[a:b] for a, b in zip(lo.tolist(), hi.tolist())]
+    bm = block_max_flat.tolist()
+    bl = block_last_flat.tolist()
+    for g in range(len(starts)):
+        out["block_max"].append(bm[b0[g]:b0[g + 1]])
+        out["block_last"].append(bl[b0[g]:b0[g + 1]])
+    return out
 
 
 def decode_postings(docs_vb: bytes, tfs_vb: bytes, dls_vb: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

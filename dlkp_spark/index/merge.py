@@ -29,7 +29,8 @@ from dlkp_spark.index.build import (POSTINGS_SCHEMA, POSTINGS_SCHEMA_POS,
                                     load_postings, load_stats)
 from dlkp_spark.index.codec import (decode_positions, decode_postings_batch,
                                     delta_decode, encode_positions,
-                                    encode_postings, varbyte_decode)
+                                    encode_postings, encode_postings_multi,
+                                    varbyte_decode)
 from dlkp_spark.oracle import idf as idf_fn
 
 
@@ -414,6 +415,10 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             cols.append("pos_vb")
         out = {k: [] for k in cols}
         del_col = pdf["del_ids"] if purge else None
+        # merged per-group arrays for the deferred cross-group encode
+        g_docs: list = []
+        g_tfs: list = []
+        g_dls: list = []
         for s, e in zip(starts, ends):
             parts = []
             for i in range(s, e):
@@ -444,18 +449,31 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             if e - s > 1:
                 parts.sort(key=lambda p: int(p[0][0]))
             field = int(fields[s])
-            tfs_cat = np.concatenate([p[1] for p in parts])
+            tfs_cat = parts[0][1] if len(parts) == 1 else \
+                np.concatenate([p[1] for p in parts])
+            if not positional:
+                # defer to the cross-group vectorized encoder (r6):
+                # assemble the merged arrays here, encode everything below
+                g_docs.append(parts[0][0] if len(parts) == 1
+                              else np.concatenate([p[0] for p in parts]))
+                g_tfs.append(tfs_cat)
+                g_dls.append(parts[0][2] if len(parts) == 1
+                             else np.concatenate([p[2] for p in parts]))
+                out["term"].append(terms[s])
+                out["field"].append(field)
+                out["segment"].append(int(segs[s]))
+                out["df"].append(int(dfs[s]))
+                continue
             enc = encode_postings(
                 np.concatenate([p[0] for p in parts]),
                 tfs_cat,
                 np.concatenate([p[2] for p in parts]),
                 idf=idf_fn(n_docs, int(dfs[s])),
                 avgdl=avgdl[field], p=cfg.bm25, block_size=cfg.block_size)
-            if positional:
-                # positions ride along in the same part order (doc asc),
-                # re-delta-coded against the merged per-doc boundaries
-                out["pos_vb"].append(encode_positions(
-                    np.concatenate([p[3] for p in parts]), tfs_cat))
+            # positions ride along in the same part order (doc asc),
+            # re-delta-coded against the merged per-doc boundaries
+            out["pos_vb"].append(encode_positions(
+                np.concatenate([p[3] for p in parts]), tfs_cat))
             out["term"].append(terms[s])
             out["field"].append(field)
             out["segment"].append(int(segs[s]))
@@ -467,6 +485,23 @@ def _merge_write(spark: SparkSession, postings, stats: dict, out_dir: str,
             out["block_max"].append(enc["block_max"])
             out["block_last"].append(enc["block_last"])
             out["max_contrib"].append(enc["max_contrib"])
+        if not positional and out["term"]:
+            counts2 = np.array([len(x) for x in g_docs], dtype=np.int64)
+            ends2 = np.cumsum(counts2)
+            starts2 = ends2 - counts2
+            multi = encode_postings_multi(
+                np.concatenate(g_docs), np.concatenate(g_tfs),
+                np.concatenate(g_dls), starts2, ends2,
+                np.array([idf_fn(n_docs, int(x)) for x in out["df"]]),
+                np.array([avgdl[int(f)] for f in out["field"]]),
+                cfg.bm25, cfg.block_size)
+            out["n_postings"] = multi["n_postings"]
+            out["docs_vb"] = multi["docs_vb"]
+            out["tfs_vb"] = multi["tfs_vb"]
+            out["dls_vb"] = multi["dls_vb"]
+            out["block_max"] = multi["block_max"]
+            out["block_last"] = multi["block_last"]
+            out["max_contrib"] = multi["max_contrib"]
         return pd.DataFrame(out)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

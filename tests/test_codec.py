@@ -157,3 +157,41 @@ def test_shared_idf_is_bit_stable():
     for n, df in [(10, 1), (500, 3), (10**6, 12345), (7, 7)]:
         assert idf(n, df) == idf(n, df)
         assert isinstance(idf(n, df), float)
+
+
+def test_encode_postings_multi_matches_single():
+    """The cross-group vectorized encoder (r6) must be BIT-identical to
+    the per-group encoder: same blobs, same block metadata, same floats."""
+    from dlkp_spark.index.codec import encode_postings_multi
+
+    rng = np.random.default_rng(13)
+    p = BM25Params()
+    groups = []
+    for g in range(200):
+        n = int(rng.integers(1, 140))
+        doc_ids = np.cumsum(rng.integers(1, 9, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 30, size=n).astype(np.int64)
+        dls = rng.integers(10, 3000, size=n).astype(np.int64)
+        idf = float(rng.uniform(0.1, 8.0))
+        avgdl = float(rng.uniform(50.0, 900.0))
+        groups.append((doc_ids, tfs, dls, idf, avgdl))
+    flat_d = np.concatenate([g[0] for g in groups])
+    flat_t = np.concatenate([g[1] for g in groups])
+    flat_l = np.concatenate([g[2] for g in groups])
+    counts = np.array([len(g[0]) for g in groups], dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    multi = encode_postings_multi(
+        flat_d, flat_t, flat_l, starts, ends,
+        np.array([g[3] for g in groups]), np.array([g[4] for g in groups]),
+        p, block_size=16)
+    for i, (doc_ids, tfs, dls, idf, avgdl) in enumerate(groups):
+        single = encode_postings(doc_ids, tfs, dls, idf=idf, avgdl=avgdl,
+                                 p=p, block_size=16)
+        assert multi["docs_vb"][i] == single["docs_vb"]
+        assert multi["tfs_vb"][i] == single["tfs_vb"]
+        assert multi["dls_vb"][i] == single["dls_vb"]
+        assert multi["block_max"][i] == single["block_max"]
+        assert multi["block_last"][i] == single["block_last"]
+        assert multi["n_postings"][i] == single["n_postings"]
+        assert multi["max_contrib"][i] == single["max_contrib"]
