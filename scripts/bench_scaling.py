@@ -83,6 +83,30 @@ def run_level(cpus: int, src: str) -> dict:
     idx = tempfile.mkdtemp(prefix=f"scal_idx_{cpus}_")
     pages = spark.read.parquet(src)
 
+    # UNTIMED warmup, the same discipline bench.py documents per section
+    # ("JVM startup/warmup is untimed either way") and already applied to
+    # the query below: a cold local JVM charges whole-stage-codegen
+    # infrastructure to its first job, the first Python task pays worker
+    # spawn + pandas/numpy/dlkp imports, and the first prepare_docs call
+    # pays module imports + tagger-weight broadcast construction —
+    # measured ~6-8 s in total on this host, identical at every level, a
+    # cost a real cluster pays once at executor provisioning. Charging it
+    # to the build inflated the Amdahl intercept by that constant (r6:
+    # the round's work-cut made this the DOMINANT residual, 22.5 s fitted
+    # fixed of which ~7 s was cold-start).
+    def _warm_imports(batches):
+        from dlkp_spark.analysis import keyphrase  # noqa: F401
+        from dlkp_spark.index import codec  # noqa: F401
+        yield from batches
+
+    spark.range(64, numPartitions=64).mapInPandas(
+        _warm_imports, "id long").count()
+    # tiny tagged pass: warms the tagger-weight broadcast fetch + model
+    # materialization in each worker process (bench.py's headline
+    # sections warm exactly this with their untimed first-query pass)
+    prepare_docs(pages.limit(512), validate=True, n_docs=512) \
+        .write.format("noop").mode("overwrite").save()
+
     t0 = time.perf_counter()
     docs = prepare_docs(pages, validate=True, n_docs=N_DOCS)
     build_index(spark, docs, idx, cfg=cfg, n_shards=1, resume=False, n_docs=N_DOCS)

@@ -119,3 +119,52 @@ def test_bucket_cap_drops_giant_buckets(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     assert minhash_lsh_pairs(d, threshold=0.9, max_bucket=50).count() == 0
     assert minhash_lsh_pairs(d, threshold=0.9, max_bucket=200).count() == 100 * 99 // 2
+
+
+def test_minhash_default_knob_recall_on_driver_testdata_sf01(spark):
+    """VERDICT r5 #6: quantify the DEFAULT-knob recall of the banded LSH
+    path against its exact twin at 10x the gate scale, so the bounded-
+    recall caps (bands=8, max_bucket=64) are asserted, not just
+    documented. The verify step guarantees precision 1.0 (every emitted
+    pair carries its exact Jaccard), so only recall can drift."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert lsh <= exact  # precision 1.0 by construction (exact verify)
+    assert len(exact) > 100  # the testdata plants enough near-dup mass
+    recall = len(lsh & exact) / len(exact)
+    # measured 0.992 (254/256) in round 4 and stable since; a drop below
+    # 0.95 means the banding/caps regressed, not host noise
+    assert recall >= 0.95, f"minhash default-knob recall {recall:.3f}"
+
+
+def test_simhash_default_knob_recall_on_driver_testdata_sf01(spark):
+    """Same quantification for the simhash path: ground truth is the full
+    signature cross-join at hamming <= 3 (pigeonhole banding over 4x16
+    bits is provably lossless there, so any miss is the max_bucket cap)."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sig = simhash_signatures(docs).persist()
+    a = sig.selectExpr("doc_id as a", "simhash as sa")
+    b = sig.selectExpr("doc_id as b", "simhash as sb")
+    truth = {(r["a"], r["b"]) for r in
+             a.join(b, F.col("a") < F.col("b"))
+             .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+             .collect()}
+    got = {(r["a"], r["b"]) for r in
+           simhash_pairs(docs, max_hamming=3).collect()}
+    sig.unpersist()
+    assert got <= truth  # bit_count verify => no false positives
+    recall = len(got & truth) / max(len(truth), 1)
+    assert recall >= 0.95, f"simhash default-knob recall {recall:.3f}"
