@@ -188,29 +188,26 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk_tokens"
     step = chunk_tokens - overlap
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
-
-    # let-bound token array (r6, same shape as decontam.word_ngrams):
-    # projection collapse re-inlines the split into every lambda use, so
-    # the unbound version re-tokenized the doc once per chunk
-    def build(ts):
-        n = F.size(ts)
-        starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
-                            F.lit(step))
-        built = F.transform(
-            starts,
-            lambda s: F.struct(
-                F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
-                F.array_join(F.slice(ts, s + F.lit(1),
-                                     F.lit(chunk_tokens)), " ").alias("chunk_text")))
-        # empty docs emit NO chunks (the pre-r6 shape filtered on n >= 1
-        # before exploding; the guard keeps that contract)
-        return F.when(n >= 1, built).otherwise(
-            F.array().cast("array<struct<n_tokens:int,chunk_text:string>>"))
-
-    chunks = F.get(F.transform(F.array(toks), build), 0)
-    return (docs.select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
-            .filter(F.size("_chunks") >= 1)
-            .select("doc_id", F.posexplode("_chunks").alias("chunk_id", "c"))
+    # _ts projection + plain transform, NOT the r6 let-binding rewrite:
+    # unlike word_ngrams, the shared token array here is a multi-
+    # referenced non-cheap projection column, which CollapseProject
+    # declines to duplicate — so the split is already evaluated once and
+    # the let only adds wrapper eval. A/B'd twice (identical rows,
+    # exceptAll both ways empty): first window parity (1.49 vs 1.43 s),
+    # second window the let-variant measured 15-20% SLOWER (1.69 vs
+    # 2.02 s best-of-6 interleaved at sf1.0) — reverted to this shape.
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
+    n = F.size("_ts")
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
+                        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+            F.array_join(F.slice(F.col("_ts"), s + F.lit(1),
+                                 F.lit(chunk_tokens)), " ").alias("chunk_text")))
+    return (base.filter(n >= 1)
+            .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
             .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
                     F.col("c.n_tokens").cast("long").alias("n_tokens"),
                     F.col("c.chunk_text").alias("chunk_text")))
